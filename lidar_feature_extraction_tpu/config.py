@@ -1,0 +1,164 @@
+"""Configuration tree for the TPU LiDAR SLAM engine.
+
+One frozen-dataclass tree replaces the reference's scattered ROS parameter
+structs and hardcoded constants:
+
+- extraction params: reference ``extraction/include/lidar_feature_extraction/
+  hyper_parameter.hpp:32-67`` (9 params, defaults identical);
+- registration params: reference hardcodes ``N_NEIGHBORS=15``
+  (``localization/include/lidar_feature_localization/localizer.hpp:46``),
+  ``max_iter=40`` (``localization/app/localization.cpp:54``), surface
+  downsample leaf 1.0 m (``surface.hpp:111``), Huber k=1.345
+  (``robust.hpp``), degeneracy threshold 0.1 (``degenerate.hpp``) — all
+  lifted into config here;
+- EKF params: reference ``ekf_localizer/include/ekf_localizer/
+  ekf_localizer.hpp:141-171`` (11 params);
+- mapping params: keyframe thresholds 1.0 m / 0.1 rad
+  (``mapping/include/lidar_feature_mapping/map.hpp:89-90``), recent-scans
+  window 7 (``localization/app/odometry.cpp:50``).
+
+Fields that have no reference counterpart (capacities, voxel sizes, NMS
+iteration caps) exist because every TPU tensor is fixed-shape: dynamic
+C++ vectors become statically-sized masked arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractionConfig:
+    """Feature-extraction hyperparameters.
+
+    Mirrors ``hyper_parameter.hpp:32-67``; shape fields are TPU additions.
+    """
+
+    padding: int = 5
+    neighbor_degree_threshold: float = 2.0
+    distance_diff_threshold: float = 0.3
+    parallel_beam_min_range_ratio: float = 0.02
+    edge_threshold: float = 0.05
+    surface_threshold: float = 0.05
+    min_range: float = 0.1
+    max_range: float = 100.0
+    n_blocks: int = 6
+
+    # --- TPU shape parameters (no reference counterpart) ---
+    # Range image: [n_rings, max_points_per_ring]; rings with fewer than
+    # padding+1 valid points are dropped (RemoveSparseRings, ring.cpp:46).
+    n_rings: int = 64
+    max_points_per_ring: int = 2048
+    # Bounded depth of the parallel NMS that replaces the reference's
+    # sequential argsort+suppress labeling (label.hpp:61-139). Each block
+    # selects at most this many edges and this many surfaces. With
+    # padding=5 a selection suppresses up to 11 points, so 64 covers
+    # blocks up to ~700 points without truncation in the gap-free case.
+    max_selections_per_block: int = 64
+    # Fixed capacities for the compacted feature outputs.
+    max_edges: int = 4096
+    max_surfaces: int = 8192
+
+    @property
+    def radian_threshold(self) -> float:
+        import math
+
+        return math.radians(self.neighbor_degree_threshold)
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelMapConfig:
+    """Device-resident voxel-hash feature map (replaces nanoflann KD-tree).
+
+    The reference builds a KD-tree over the feature map
+    (``localization/include/lidar_feature_localization/kdtree.hpp:56``) and
+    does exact k-NN. On TPU we hash map points into an open-addressed voxel
+    table and gather candidates from the 3x3x3 neighborhood of the query
+    voxel; ATE parity (not neighbor parity) is the acceptance criterion.
+    """
+
+    voxel_size: float = 1.0
+    table_capacity: int = 1 << 18  # number of voxel buckets
+    points_per_voxel: int = 8      # slots per bucket
+    max_probes: int = 16           # linear probing bound
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """Gauss-Newton scan registration parameters."""
+
+    n_neighbors: int = 15            # localizer.hpp:46
+    max_iterations: int = 40         # localization.cpp:54 (Optimizer default 20)
+    convergence_tol: float = 1e-3    # optimizer.cpp:35-38
+    huber_k: float = 1.345           # robust.hpp
+    degeneracy_threshold: float = 0.1  # degenerate.hpp / optimizer.cpp:67
+    surface_downsample_leaf: float = 1.0  # surface.hpp:111
+    edge_map: VoxelMapConfig = dataclasses.field(
+        default_factory=lambda: VoxelMapConfig(voxel_size=1.0))
+    surface_map: VoxelMapConfig = dataclasses.field(
+        default_factory=lambda: VoxelMapConfig(voxel_size=2.0))
+    # Fixed shapes for the masked correspondence tensors.
+    max_edge_points: int = 4096
+    max_surface_points: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class EkfConfig:
+    """2D-dynamics time-delay EKF parameters (ekf_localizer.hpp:141-171)."""
+
+    predict_frequency: float = 50.0
+    extend_state_step: int = 50      # max delay steps of the augmented state
+    pose_smoothing_steps: int = 5
+    pose_gate_dist: float = 10000.0
+    twist_gate_dist: float = 10000.0
+    twist_smoothing_steps: int = 2
+    proc_stddev_yaw_c: float = 0.005
+    enable_yaw_bias_estimation: bool = True
+    proc_stddev_yaw_bias_c: float = 0.001
+    proc_stddev_vx_c: float = 5.0
+    proc_stddev_wz_c: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Keyframe map-building parameters (map.hpp:89-90, odometry.cpp:50)."""
+
+    keyframe_translation_threshold: float = 1.0
+    keyframe_rotation_threshold: float = 0.1
+    recent_scans_window: int = 7
+    max_keyframes: int = 512
+    max_map_points: int = 1 << 21
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout for multi-chip execution (no reference
+    counterpart — the reference is single-host CPU, SURVEY.md §2.8)."""
+
+    data_axis: str = "data"       # scans / keyframes sharded over this axis
+    model_axis: str = "model"     # residual blocks within one problem
+    mesh_shape: Tuple[int, ...] = (1,)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    extraction: ExtractionConfig = dataclasses.field(
+        default_factory=ExtractionConfig)
+    registration: RegistrationConfig = dataclasses.field(
+        default_factory=RegistrationConfig)
+    ekf: EkfConfig = dataclasses.field(default_factory=EkfConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+
+def kitti_hdl64() -> PipelineConfig:
+    """Config preset for KITTI HDL-64E scans."""
+    return PipelineConfig(
+        extraction=ExtractionConfig(n_rings=64, max_points_per_ring=2304))
+
+
+def vlp16() -> PipelineConfig:
+    """Config preset for Velodyne VLP-16 scans."""
+    return PipelineConfig(
+        extraction=ExtractionConfig(n_rings=16, max_points_per_ring=1856))

@@ -1,0 +1,69 @@
+"""Robust statistics kernels: masked median, MAD scale, Huber weights.
+
+TPU re-design of the reference's scalar loops:
+- ``Median`` (``lib/src/stats.cpp:57-68``) — here a masked, fixed-shape
+  sort-based median so it can live inside a jitted Gauss-Newton loop;
+- ``MedianAbsoluteDeviation`` / ``Scale`` (``localization/src/robust.cpp:
+  37-50``);
+- ``Huber`` / ``HuberDerivative`` (``localization/src/robust.cpp:53-68``)
+  as elementwise ops (the IRLS weights).
+
+All functions take a validity mask: dynamic-size vectors become
+fixed-shape arrays with invalid lanes ignored.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# 1 / norm.ppf(3/4): consistent-estimator factor for MAD -> stddev.
+# Parity: localization/src/robust.cpp:44-48.
+MAD_CONSISTENCY = 1.482602218505602
+
+
+def masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over ``values[mask]`` without changing array shape.
+
+    Matches ``Median_`` (``lib/src/stats.cpp:34-55``): for an even count
+    the average of the two middle order statistics, for odd the single
+    middle one. Invalid lanes sort to +inf; the middle indices are
+    computed from the traced valid count.
+    """
+    n = jnp.sum(mask.astype(jnp.int32))
+    big = jnp.asarray(jnp.inf, dtype=values.dtype)
+    s = jnp.sort(jnp.where(mask, values, big))
+    # Odd n: element (n-1)/2 twice. Even n: elements n/2-1 and n/2.
+    lo = jnp.maximum((n - 1) // 2, 0)
+    hi = jnp.where(n % 2 == 1, lo, jnp.minimum(jnp.maximum(n // 2, 0),
+                                               values.shape[-1] - 1))
+    med = 0.5 * (s[lo] + s[hi])
+    return jnp.where(n > 0, med, jnp.asarray(jnp.nan, dtype=values.dtype))
+
+
+def masked_mad(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median absolute deviation over the masked lanes.
+
+    Parity: ``MedianAbsoluteDeviation`` (robust.cpp:37-42).
+    """
+    med = masked_median(values, mask)
+    return masked_median(jnp.abs(values - med), mask)
+
+
+def masked_scale(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Robust scale estimate ``1.4826 * MAD``. Parity: robust.cpp:44-50."""
+    return MAD_CONSISTENCY * masked_mad(values, mask)
+
+
+def huber(e: jnp.ndarray, k: float = 1.345) -> jnp.ndarray:
+    """Huber loss of a *squared* error ``e``. Parity: robust.cpp:53-60."""
+    sqrt_e = jnp.sqrt(jnp.maximum(e, 0.0))
+    return jnp.where(e < k * k, e, 2.0 * k * sqrt_e - k * k)
+
+
+def huber_derivative(e: jnp.ndarray, k: float = 1.345) -> jnp.ndarray:
+    """IRLS weight: d/de Huber(e) for squared error ``e``.
+
+    Parity: robust.cpp:62-68 — 1 below the elbow, ``k / sqrt(e)`` above.
+    """
+    safe = jnp.maximum(e, k * k)
+    return jnp.where(e < k * k, jnp.ones_like(e), k / jnp.sqrt(safe))

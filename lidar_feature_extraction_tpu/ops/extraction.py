@@ -1,0 +1,288 @@
+"""LOAM feature extraction as batched fixed-shape TPU kernels.
+
+Re-designs the reference's per-ring sequential pipeline
+(``extraction/app/feature_extraction.cpp:92-171``) as a handful of
+vectorized passes over the whole ``[n_rings, max_points]`` range image:
+
+1. curvature — 1-D convolution of the XY range with weight
+   ``[1..1, -2p, 1..1]`` then square (``extraction/src/curvature.cpp:
+   36-51``, ``convolution.cpp:35-66``), expressed as a sum of lane
+   shifts (one fused VPU pass) instead of a scalar loop;
+2. neighbor flags + "gap prefix" — the azimuth-adjacency predicate
+   (``neighbor.hpp:45``, ``math.cpp:34``) evaluated once per adjacent
+   pair; a prefix-sum of gaps turns the reference's directional
+   flood-fills (``fill.hpp:41-118``) into O(1) window tests:
+   points i<j are "connected" iff gap_prefix[i] == gap_prefix[j];
+3. block partitioning — integer-exact boundaries of ``PaddedIndexRange``
+   (``index_range.cpp:31-79``);
+4. edge/surface labeling — the order-dependent argsort+suppress loops
+   (``label.hpp:61-139``) become a bounded segmented non-max-suppression:
+   every block of every ring picks its best candidate simultaneously each
+   round (argmax of curvature for edges, argmin for surfaces), labels it,
+   and suppresses its connected +/-padding window. Selection order within
+   a block is identical to the reference (monotone curvature order), so
+   labels agree exactly whenever the iteration cap is not hit;
+5. occlusion / out-of-range / parallel-beam masking (``occlusion.hpp:
+   38-93``, ``out_of_range.hpp:37``, ``parallel_beam.hpp:37``) as pure
+   boolean window compositions, overwriting earlier labels in the same
+   order the reference applies them.
+
+Everything is mask-composed: no data-dependent shapes, one jit trace.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lidar_feature_extraction_tpu.config import ExtractionConfig
+from lidar_feature_extraction_tpu.core.scan import RangeImage, xy_range
+
+# Label codes — parity with the PointLabel enum
+# (extraction/include/lidar_feature_extraction/point_label.hpp:32-42).
+DEFAULT = 0
+EDGE = 1
+EDGE_NEIGHBOR = 2
+SURFACE = 3
+SURFACE_NEIGHBOR = 4
+OUT_OF_RANGE = 5
+OCCLUDED = 6
+PARALLEL_BEAM = 7
+
+
+class ExtractionResult(NamedTuple):
+    labels: jnp.ndarray        # [R, P] int32 PointLabel codes
+    curvature: jnp.ndarray     # [R, P] float
+    edge_xyz: jnp.ndarray      # [max_edges, 3]
+    edge_valid: jnp.ndarray    # [max_edges] bool
+    surface_xyz: jnp.ndarray   # [max_surfaces, 3]
+    surface_valid: jnp.ndarray  # [max_surfaces] bool
+
+
+def curvature_kernel(rng: jnp.ndarray, count: jnp.ndarray,
+                     padding: int) -> jnp.ndarray:
+    """Squared range-curvature over each ring, [R, P].
+
+    c[i] = (sum_{|k|<=p} w_k * range[i+k])^2 with w_p = -2p, else 1;
+    zero outside [p, n-p). Parity: curvature.cpp:36-51.
+    """
+    p = padding
+    acc = -2.0 * p * rng
+    for k in range(1, p + 1):
+        acc = acc + jnp.roll(rng, k, axis=-1) + jnp.roll(rng, -k, axis=-1)
+    idx = jnp.arange(rng.shape[-1])
+    interior = (idx >= p) & (idx < count[:, None] - p)
+    return jnp.where(interior, acc * acc, 0.0)
+
+
+def neighbor_flags(xyz: jnp.ndarray, count: jnp.ndarray,
+                   radian_threshold: float) -> jnp.ndarray:
+    """nb[r, i] = points i and i+1 of ring r subtend an XY angle below
+    the threshold. Parity: IsNeighborXY (neighbor.hpp:45) with
+    CalcRadian = acos(dot / (|a||b|)) on XY (math.cpp:34-49).
+    nb is False at i >= count-1 (no successor).
+    """
+    x, y = xyz[..., 0], xyz[..., 1]
+    xn, yn = jnp.roll(x, -1, axis=-1), jnp.roll(y, -1, axis=-1)
+    dot = x * xn + y * yn
+    norm = jnp.sqrt(x * x + y * y) * jnp.sqrt(xn * xn + yn * yn)
+    cosang = jnp.clip(dot / jnp.maximum(norm, 1e-30), -1.0, 1.0)
+    angle = jnp.arccos(cosang)
+    idx = jnp.arange(x.shape[-1])
+    has_next = idx < count[:, None] - 1
+    return (angle < radian_threshold) & has_next
+
+
+def gap_prefix(nb: jnp.ndarray) -> jnp.ndarray:
+    """G[r, i] = number of non-neighbor pairs strictly before lane i.
+    Two lanes i <= j are connected (every consecutive pair between them
+    passes the neighbor check) iff G[i] == G[j]."""
+    gaps = (~nb).astype(jnp.int32)
+    g = jnp.cumsum(gaps, axis=-1)
+    return jnp.concatenate([jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1)
+
+
+def block_ids(count: jnp.ndarray, n_points: int, padding: int,
+              n_blocks: int) -> jnp.ndarray:
+    """Block index of each lane, or -1 outside all blocks, [R, P].
+
+    Boundary j of a ring with n valid points is
+    floor((padding*(B-j) + (n-padding)*j) / B) — the integer-exact form of
+    IndexRange::Boundary (index_range.cpp:62-69). Rings with
+    n - 2*padding < n_blocks produce no blocks (the reference throws and
+    skips the ring, index_range.cpp:35-42 + feature_extraction.cpp:154).
+    """
+    j = jnp.arange(n_blocks + 1)
+    n = count[:, None]
+    bounds = (padding * (n_blocks - j) + (n - padding) * j) // n_blocks
+    idx = jnp.arange(n_points)[None, :, None]          # [1, P, 1]
+    blk = jnp.sum(idx >= bounds[:, None, :], axis=-1) - 1  # [R, P]
+    active = (count - 2 * padding >= n_blocks)[:, None]
+    in_blocks = (blk >= 0) & (blk < n_blocks) & (idx[..., 0] < n - padding)
+    return jnp.where(active & in_blocks, blk, -1)
+
+
+def _nms_pass(labels, curvature, blk, g, count, *, padding, n_blocks,
+              threshold, pick_max, point_code, neighbor_code, n_iter):
+    """Segmented NMS labeling: every (ring, block) selects its extreme-
+    curvature Default candidate each round and suppresses its connected
+    +/-padding window. Equivalent to the sequential descending/ascending
+    label loops of label.hpp:61-139 (see module docstring)."""
+    R, P = curvature.shape
+    lane = jnp.arange(P)[None, :]
+    neg_inf = jnp.asarray(-jnp.inf, curvature.dtype)
+
+    score = curvature if pick_max else -curvature
+    thr_ok = (curvature >= threshold) if pick_max else (curvature <= threshold)
+
+    def body(_, labels):
+        cand = (labels == DEFAULT) & (blk >= 0) & thr_ok
+        s = jnp.where(cand, score, neg_inf)                     # [R, P]
+        # Segmented argmax over the n_blocks segments of each ring.
+        seg = jnp.where(blk[:, None, :] == jnp.arange(n_blocks)[None, :, None],
+                        s[:, None, :], neg_inf)                 # [R, B, P]
+        sel = jnp.argmax(seg, axis=-1)                          # [R, B]
+        sel_ok = jnp.take_along_axis(seg, sel[..., None],
+                                     axis=-1)[..., 0] > neg_inf  # [R, B]
+        sel_g = jnp.take_along_axis(g, sel, axis=-1)            # [R, B]
+        sel_blk = jnp.take_along_axis(blk, sel, axis=-1)        # [R, B]
+        #
+
+        # Window: same block, within +/-padding, connected (equal gap
+        # prefix). FillNeighbors clamps to block bounds (fill.hpp:102-118)
+        # — enforced by the same-block test.
+        d = lane[:, None, :] - sel[..., None]                   # [R, B, P]
+        win = (jnp.abs(d) <= padding) \
+            & (g[:, None, :] == sel_g[..., None]) \
+            & (blk[:, None, :] == sel_blk[..., None]) \
+            & sel_ok[..., None]
+        is_sel = (d == 0) & sel_ok[..., None]
+        win_any = jnp.any(win, axis=1)
+        sel_any = jnp.any(is_sel, axis=1)
+        labels = jnp.where(win_any, neighbor_code, labels)
+        labels = jnp.where(sel_any, point_code, labels)
+        return labels
+
+    return jax.lax.fori_loop(0, n_iter, body, labels)
+
+
+def occlusion_mask(rng, nb, g, count, *, padding, distance_diff_threshold):
+    """Boolean mask of occluded points, [R, P].
+
+    Left sweep (occlusion.hpp:38-57): a neighbor pair (i, i+1) whose
+    range jumps up by more than the threshold marks i+1 .. i+1+padding
+    (stopping at gaps) as occluded. Right sweep (occlusion.hpp:60-79)
+    mirrors it. Expressed as padding+1 shifted window tests against the
+    gap prefix.
+    """
+    P = rng.shape[-1]
+    idx = jnp.arange(P)[None, :]
+    n = jnp.asarray(count)[:, None]
+
+    jump_up = jnp.roll(rng, -1, axis=-1) > rng + distance_diff_threshold
+    # Left: trigger at position i+1 for i in [0, n-padding-2].
+    trig_l = jnp.roll(nb & jump_up & (idx < n - padding - 1), 1, axis=-1)
+    trig_l = trig_l & (idx >= 1)
+    # Right: trigger at position m=i-1 for i in [padding+1, n-1]:
+    # nb(m, m+1) and range[m] > range[m+1] + thr.
+    jump_down = rng > jnp.roll(rng, -1, axis=-1) + distance_diff_threshold
+    trig_r = nb & jump_down & (idx >= padding) & (idx <= n - 2)
+
+    occl = jnp.zeros_like(nb)
+    for dshift in range(padding + 1):
+        tl = jnp.roll(trig_l, dshift, axis=-1) & (idx >= dshift)
+        gl = jnp.roll(g, dshift, axis=-1)
+        occl = occl | (tl & (g == gl))
+        tr = jnp.roll(trig_r, -dshift, axis=-1) & (idx + dshift < P)
+        gr = jnp.roll(g, -dshift, axis=-1)
+        occl = occl | (tr & (g == gr))
+    return occl & (idx < n)
+
+
+def parallel_beam_mask(rng, count, *, range_ratio_threshold):
+    """ratio test on both adjacent ranges (parallel_beam.hpp:37-53)."""
+    idx = jnp.arange(rng.shape[-1])[None, :]
+    n = jnp.asarray(count)[:, None]
+    safe = jnp.maximum(rng, 1e-30)
+    r_prev = jnp.abs(jnp.roll(rng, 1, axis=-1) - rng) / safe
+    r_next = jnp.abs(jnp.roll(rng, -1, axis=-1) - rng) / safe
+    inner = (idx >= 1) & (idx < n - 1)
+    return (r_prev > range_ratio_threshold) \
+        & (r_next > range_ratio_threshold) & inner
+
+
+def label_range_image(image: RangeImage,
+                      cfg: ExtractionConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute per-point labels and curvature for a whole range image."""
+    rng = xy_range(image)
+    rng = jnp.where(image.mask, rng, 0.0)
+    count = image.count
+
+    curv = curvature_kernel(rng, count, cfg.padding)
+    nb = neighbor_flags(image.xyz, count, cfg.radian_threshold)
+    g = gap_prefix(nb)
+    blk = block_ids(count, image.max_points, cfg.padding, cfg.n_blocks)
+
+    labels = jnp.full(rng.shape, DEFAULT, jnp.int32)
+    labels = _nms_pass(
+        labels, curv, blk, g, count,
+        padding=cfg.padding, n_blocks=cfg.n_blocks,
+        threshold=cfg.edge_threshold, pick_max=True,
+        point_code=EDGE, neighbor_code=EDGE_NEIGHBOR,
+        n_iter=cfg.max_selections_per_block)
+    labels = _nms_pass(
+        labels, curv, blk, g, count,
+        padding=cfg.padding, n_blocks=cfg.n_blocks,
+        threshold=cfg.surface_threshold, pick_max=False,
+        point_code=SURFACE, neighbor_code=SURFACE_NEIGHBOR,
+        n_iter=cfg.max_selections_per_block)
+
+    # Masking passes overwrite labels in the reference's order
+    # (feature_extraction.cpp:137-142).
+    ring_active = (count - 2 * cfg.padding >= cfg.n_blocks)[:, None]
+    occl = occlusion_mask(rng, nb, g, count, padding=cfg.padding,
+                          distance_diff_threshold=cfg.distance_diff_threshold)
+    labels = jnp.where(occl & ring_active, OCCLUDED, labels)
+
+    idx = jnp.arange(rng.shape[-1])[None, :]
+    in_ring = idx < count[:, None]
+    oor = ~((rng >= cfg.min_range) & (rng <= cfg.max_range)) & in_ring
+    labels = jnp.where(oor & ring_active, OUT_OF_RANGE, labels)
+
+    par = parallel_beam_mask(rng, count,
+                             range_ratio_threshold=cfg.parallel_beam_min_range_ratio)
+    labels = jnp.where(par & ring_active, PARALLEL_BEAM, labels)
+
+    labels = jnp.where(image.mask & ring_active, labels, DEFAULT)
+    return labels, curv
+
+
+def compact_by_mask(xyz: jnp.ndarray, mask: jnp.ndarray,
+                    capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather masked points of a [R, P, 3] tensor into a fixed-capacity
+    [capacity, 3] array + validity mask (the TPU replacement for the
+    dynamically-sized GetIndicesByValue / GetByIndices extraction,
+    lib/include/lidar_feature_library/algorithm.hpp:41-62)."""
+    flat = mask.ravel()
+    (sel,) = jnp.nonzero(flat, size=capacity, fill_value=flat.shape[0])
+    valid = sel < flat.shape[0]
+    pts = xyz.reshape(-1, 3)
+    gathered = jnp.where(valid[:, None],
+                         pts[jnp.minimum(sel, flat.shape[0] - 1)], 0.0)
+    return gathered, valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_features(image: RangeImage,
+                     cfg: ExtractionConfig) -> ExtractionResult:
+    """Full feature-extraction step for one organized scan."""
+    labels, curv = label_range_image(image, cfg)
+    edge_xyz, edge_valid = compact_by_mask(
+        image.xyz, (labels == EDGE) & image.mask, cfg.max_edges)
+    surf_xyz, surf_valid = compact_by_mask(
+        image.xyz, (labels == SURFACE) & image.mask, cfg.max_surfaces)
+    return ExtractionResult(labels, curv, edge_xyz, edge_valid,
+                            surf_xyz, surf_valid)

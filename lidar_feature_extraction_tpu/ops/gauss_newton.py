@@ -1,0 +1,186 @@
+"""Robust Gauss-Newton pose optimizer as one jitted ``lax.while_loop``.
+
+TPU re-design of ``Optimizer::Run`` (``localization/include/
+lidar_feature_localization/optimizer.hpp:72-129``) and its helpers
+(``localization/src/optimizer.cpp:35-128``):
+
+- Huber-IRLS on MAD-normalized squared residual norms
+  (``ComputeErrors`` / ``NormalizeErrorScale`` / ``ComputeWeights``,
+  optimizer.cpp:100-128) — here masked reductions over fixed-shape
+  correspondence tensors;
+- quaternion-manifold update through the 7->6 lift M
+  (``MakeM`` optimizer.cpp:74-85): dx = -(M^T A M)^{-1} M^T b solved
+  with Cholesky;
+- degeneracy guard on the unweighted J^T J spectrum
+  (``IsDegenerate`` degenerate.cpp:32-37, threshold 0.1: any
+  |eigenvalue| below it zeroes the update);
+- early-abort states (empty input, error increase, scale increase,
+  convergence, max-iteration) carried as a status code through the
+  while-loop instead of C++ early returns
+  (``optimization_result.hpp:38-80``).
+
+The per-iteration problem construction (correspondence search +
+residual linearization) is a caller-supplied function, so the same
+optimizer drives scan-to-map localization, scan-to-scan odometry and
+the point-to-point alignment problem used in tests (parity with the
+template parameter ``ProblemType`` of the C++ Optimizer).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lidar_feature_extraction_tpu.core import quaternion as quat
+from lidar_feature_extraction_tpu.core import stats
+from lidar_feature_extraction_tpu.core.pose import Pose
+
+# Status codes (parity: the OptimizationResult constructors,
+# optimization_result.hpp:47-80).
+CONVERGED = 0
+MAX_ITERATIONS = 1
+ERROR_INCREASED = 2
+SCALE_INCREASED = 3
+EMPTY_INPUT = 4
+
+
+class GNResult(NamedTuple):
+    pose: Pose
+    status: jnp.ndarray      # int32 code above
+    iterations: jnp.ndarray  # int32
+    error: jnp.ndarray       # sum of squared residual norms
+    scale: jnp.ndarray       # MAD scale of the error vector
+
+
+class Problem(NamedTuple):
+    """Stacked fixed-shape correspondences: jacobians [N, D, 7] flattened
+    to rows, squared-norm errors per correspondence, validity."""
+
+    jtj: jnp.ndarray      # [N, 7, 7] J_i^T J_i per correspondence
+    jtr: jnp.ndarray      # [N, 7] J_i^T r_i per correspondence
+    errors: jnp.ndarray   # [N] r_i . r_i
+    valid: jnp.ndarray    # [N]
+
+
+def make_problem(blocks) -> Problem:
+    """Stack ResidualBlocks (possibly of different row-dims D) into one
+    per-correspondence normal-equation tensor. Parity:
+    ``LOAMOptimizationProblem::Make`` (loam_optimization_problem.hpp:
+    51-88) concatenates the edge and surface jacobian/residual lists."""
+    jtjs, jtrs, errs, valids = [], [], [], []
+    for b in blocks:
+        jtjs.append(jnp.einsum("ndi,ndj->nij", b.jacobian, b.jacobian))
+        jtrs.append(jnp.einsum("ndi,nd->ni", b.jacobian, b.residual))
+        errs.append(jnp.sum(b.residual * b.residual, axis=-1))
+        valids.append(b.valid)
+    return Problem(jtj=jnp.concatenate(jtjs, axis=0),
+                   jtr=jnp.concatenate(jtrs, axis=0),
+                   errors=jnp.concatenate(errs, axis=0),
+                   valid=jnp.concatenate(valids, axis=0))
+
+
+def make_m(q: jnp.ndarray) -> jnp.ndarray:
+    """7x6 manifold lift: dx(6) -> d(q, t)(7). Parity: MakeM
+    (optimizer.cpp:74-85): top-left 4x3 = 0.5 * L(q)[:, 1:]."""
+    L = quat.left_multiplication_matrix(q)
+    top = jnp.concatenate([0.5 * L[..., :, 1:],
+                           jnp.zeros(L.shape[:-2] + (4, 3), L.dtype)],
+                          axis=-1)
+    bot = jnp.concatenate([jnp.zeros(L.shape[:-2] + (3, 3), L.dtype),
+                           jnp.broadcast_to(jnp.eye(3, dtype=L.dtype),
+                                            L.shape[:-2] + (3, 3))],
+                          axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def weighted_update(q: jnp.ndarray, weights: jnp.ndarray,
+                    problem: Problem,
+                    degeneracy_threshold: float) -> jnp.ndarray:
+    """One GN solve: dx = -(M^T A M)^{-1} M^T b, or zero when the
+    unweighted Hessian is degenerate. Parity: WeightedUpdate
+    (optimizer.cpp:40-72)."""
+    w = jnp.where(problem.valid, weights, 0.0)
+    vf = problem.valid.astype(problem.jtj.dtype)
+    D = jnp.einsum("n,nij->ij", vf, problem.jtj)
+    A = jnp.einsum("n,nij->ij", w, problem.jtj)
+    b = jnp.einsum("n,ni->i", w, problem.jtr)
+
+    M = make_m(q)
+    H = M.T @ A @ M
+    g = M.T @ b
+    # Solve via Cholesky like the reference's LLT.
+    L = jnp.linalg.cholesky(H + 0.0 * jnp.eye(6, dtype=H.dtype))
+    dx = -jax.scipy.linalg.cho_solve((L, True), g)
+
+    eigvals = jnp.linalg.eigvalsh(D)
+    degenerate = jnp.any(jnp.abs(eigvals) < degeneracy_threshold)
+    bad = degenerate | ~jnp.all(jnp.isfinite(dx))
+    return jnp.where(bad, jnp.zeros_like(dx), dx)
+
+
+def run_gauss_newton(
+    problem_fn: Callable[[Pose], Problem],
+    initial_pose: Pose,
+    max_iterations: int,
+    convergence_tol: float = 1e-3,
+    huber_k: float = 1.345,
+    degeneracy_threshold: float = 0.1,
+) -> GNResult:
+    """Iterate GN with recomputed correspondences until convergence or an
+    abort condition, inside ``lax.while_loop``. ``problem_fn`` is traced
+    once; it must be shape-stable."""
+
+    dtype = initial_pose.t.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def cond(state):
+        _, _, _, _, it, status = state
+        return (status < 0) & (it < max_iterations)
+
+    def body(state):
+        q, t, prev_error, prev_scale, it, status = state
+        pose = Pose(q, t)
+        problem = problem_fn(pose)
+
+        n_valid = jnp.sum(problem.valid.astype(jnp.int32))
+        errors = jnp.where(problem.valid, problem.errors, 0.0)
+        error = jnp.sum(errors)
+        scale = stats.masked_scale(problem.errors, problem.valid)
+        normalized = errors / (scale + 1e-16)
+
+        empty = n_valid == 0
+        err_up = error > prev_error
+        scale_up = scale > prev_scale
+
+        weights = stats.huber_derivative(normalized, huber_k)
+        dx = weighted_update(q, weights, problem, degeneracy_threshold)
+        dq = quat.exp_so3(dx[:3])
+        dt = dx[3:]
+        q_new = quat.quat_normalize(quat.quat_multiply(q, dq))
+        t_new = t + dt
+        converged = (jnp.linalg.norm(dq[1:]) < convergence_tol) \
+            & (jnp.linalg.norm(dt) < convergence_tol)
+
+        # Abort conditions keep the *pre-update* pose (the C++ returns
+        # MakePose(q, t) before applying the update, optimizer.hpp:93-108).
+        abort = empty | err_up | scale_up
+        new_status = jnp.where(
+            empty, EMPTY_INPUT,
+            jnp.where(err_up, ERROR_INCREASED,
+                      jnp.where(scale_up, SCALE_INCREASED,
+                                jnp.where(converged, CONVERGED, -1))))
+        q_out = jnp.where(abort, q, q_new)
+        t_out = jnp.where(abort, t, t_new)
+        prev_error = jnp.where(abort, prev_error, error)
+        prev_scale = jnp.where(abort, prev_scale, scale)
+        return (q_out, t_out, prev_error, prev_scale, it + 1,
+                new_status.astype(jnp.int32))
+
+    init = (initial_pose.q.astype(dtype), initial_pose.t.astype(dtype),
+            big, big, jnp.asarray(0, jnp.int32), jnp.asarray(-1, jnp.int32))
+    q, t, error, scale, it, status = jax.lax.while_loop(cond, body, init)
+    status = jnp.where(status < 0, MAX_ITERATIONS, status)
+    return GNResult(pose=Pose(q, t), status=status, iterations=it,
+                    error=error, scale=scale)

@@ -1,0 +1,127 @@
+"""Batched edge / surface correspondence residuals and Jacobians.
+
+TPU re-design of the reference's per-point residual factories:
+
+- edge (point-to-line): ``Edge::Make`` (``localization/include/
+  lidar_feature_localization/edge.hpp:78-126``, ``src/edge.cpp:43-98``).
+  Per scan point: k-NN in the edge map, PCA of the neighborhood, the
+  principal axis spans two virtual points p1 = mean - principal,
+  p2 = mean + principal; residual (p - p1) x (p - p2) in R^3, Jacobian
+  [Hat(p2-p1) @ DRpDq | Hat(p2-p1)] in R^{3x7};
+- surface (point-to-plane): ``Surface::Make`` (``surface.hpp:96-143``).
+  Per downsampled point: k-NN in the surface map, least-squares plane
+  X w = -1, residual (w.x + 1)/|w| in R, Jacobian [u^T DRpDq | u^T] with
+  u = w/|w|.
+
+Everything is one fused batch: [N] correspondences at a time on the MXU/
+VPU rather than N scalar loop iterations. Invalid lanes (masked scan
+points, starved neighborhoods) carry zero Jacobians/residuals so they
+drop out of the normal equations.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from lidar_feature_extraction_tpu.core import quaternion as quat
+from lidar_feature_extraction_tpu.core.pose import Pose
+from lidar_feature_extraction_tpu.ops.eig3 import eigh3x3
+from lidar_feature_extraction_tpu.ops.voxel_map import VoxelHashMap, knn
+
+
+class ResidualBlock(NamedTuple):
+    """Fixed-shape correspondence set.
+
+    jacobian: [N, D, 7], residual: [N, D], valid: [N] — D=3 for edge,
+    D=1 for surface rows.
+    """
+
+    jacobian: jnp.ndarray
+    residual: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def masked_mean_and_cov(pts: jnp.ndarray, valid: jnp.ndarray):
+    """Mean and covariance over valid neighbors, batched [..., K, 3].
+
+    Parity: ``CalcMeanAndCovariance`` (edge.cpp:43-50) — covariance
+    normalized by the (valid) count, not count-1.
+    """
+    w = valid.astype(pts.dtype)[..., None]
+    cnt = jnp.maximum(jnp.sum(w, axis=-2), 1.0)
+    mean = jnp.sum(pts * w, axis=-2) / cnt
+    d = (pts - mean[..., None, :]) * w
+    cov = jnp.einsum("...ki,...kj->...ij", d, d) / cnt[..., None]
+    return mean, cov
+
+
+def edge_residuals(edge_map: VoxelHashMap, scan_pts: jnp.ndarray,
+                   scan_valid: jnp.ndarray, pose: Pose, k: int,
+                   min_neighbors: int = 5) -> ResidualBlock:
+    """Point-to-line residuals for every (masked) edge scan point.
+
+    scan_pts: [N, 3] in sensor frame. ``min_neighbors`` gates starved
+    voxel neighborhoods (deviation from the KD-tree which always finds k
+    neighbors; see ops/voxel_map.py docstring).
+    """
+    p_map = pose.apply(scan_pts)                       # query in map frame
+    nbrs, _, nvalid = knn(edge_map, p_map, k)
+    mean, cov = masked_mean_and_cov(nbrs, nvalid)
+    _, evecs = eigh3x3(cov)
+    principal = evecs[..., :, 2]                       # largest eigenvalue
+    p1 = mean - principal
+    p2 = mean + principal
+
+    khat = quat.hat(p2 - p1)                           # [N, 3, 3]
+    dr = quat.drpdq(jnp.broadcast_to(pose.q, scan_pts.shape[:-1] + (4,)),
+                    scan_pts)                          # [N, 3, 4]
+    jac = jnp.concatenate([khat @ dr, khat], axis=-1)  # [N, 3, 7]
+    res = jnp.cross(p_map - p1, p_map - p2)            # [N, 3]
+
+    ok = scan_valid & (jnp.sum(nvalid, axis=-1) >= min_neighbors)
+    okf = ok[..., None]
+    return ResidualBlock(jacobian=jnp.where(okf[..., None], jac, 0.0),
+                         residual=jnp.where(okf, res, 0.0),
+                         valid=ok)
+
+
+def fit_plane(nbrs: jnp.ndarray, valid: jnp.ndarray, eps: float = 1e-12):
+    """Least-squares plane X w = -1 over valid neighbors, batched.
+
+    Parity: ``EstimatePlaneCoefficients`` (surface.hpp:79-83) solves the
+    overdetermined system with Householder QR; we use the normal
+    equations (X^T X) w = -X^T 1 with a Tikhonov floor — same least-
+    squares solution for well-conditioned neighborhoods.
+    """
+    w = valid.astype(nbrs.dtype)[..., None]
+    xw = nbrs * w
+    ata = jnp.einsum("...ki,...kj->...ij", xw, nbrs)   # [..., 3, 3]
+    atb = -jnp.sum(xw, axis=-2)                        # [..., 3]
+    ata = ata + eps * jnp.eye(3, dtype=nbrs.dtype)
+    return jnp.linalg.solve(ata, atb[..., None])[..., 0]
+
+
+def surface_residuals(surface_map: VoxelHashMap, scan_pts: jnp.ndarray,
+                      scan_valid: jnp.ndarray, pose: Pose, k: int,
+                      min_neighbors: int = 5) -> ResidualBlock:
+    """Point-to-plane residuals for every (masked) surface scan point."""
+    p_map = pose.apply(scan_pts)
+    nbrs, _, nvalid = knn(surface_map, p_map, k)
+    w = fit_plane(nbrs, nvalid)                        # [N, 3]
+    wnorm = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    u = w / jnp.maximum(wnorm, 1e-12)
+
+    dr = quat.drpdq(jnp.broadcast_to(pose.q, scan_pts.shape[:-1] + (4,)),
+                    scan_pts)                          # [N, 3, 4]
+    ju = jnp.einsum("...i,...ij->...j", u, dr)         # [N, 4]
+    jac = jnp.concatenate([ju, u], axis=-1)[..., None, :]  # [N, 1, 7]
+    res = ((jnp.sum(w * p_map, axis=-1, keepdims=True) + 1.0)
+           / jnp.maximum(wnorm, 1e-12))                # [N, 1]
+
+    ok = scan_valid & (jnp.sum(nvalid, axis=-1) >= min_neighbors)
+    okf = ok[..., None]
+    return ResidualBlock(jacobian=jnp.where(okf[..., None], jac, 0.0),
+                         residual=jnp.where(okf, res, 0.0),
+                         valid=ok)

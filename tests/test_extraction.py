@@ -1,0 +1,178 @@
+"""Parity tests: TPU extraction kernels vs the sequential numpy oracle
+(tests/np_ref.py) that mirrors the C++ reference's behavior."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import np_ref
+from lidar_feature_extraction_tpu.config import ExtractionConfig
+from lidar_feature_extraction_tpu.core.scan import (RangeImage,
+                                                    build_range_image)
+from lidar_feature_extraction_tpu.ops import extraction as ex
+
+jax.config.update("jax_enable_x64", True)
+
+
+def make_synthetic_ring(rng, n, edge_fraction=0.05):
+    """Azimuth-sorted ring: smooth arcs with occasional range jumps so
+    all label classes (edges, surfaces, occlusion, parallel beams) occur."""
+    az = np.sort(rng.uniform(-np.pi, np.pi, size=n))
+    r = 10.0 + 2.0 * np.sin(3 * az)
+    # Range discontinuities -> occlusion triggers + edges
+    for s in rng.choice(n, size=max(1, int(n * edge_fraction)), replace=False):
+        r[s:] += rng.uniform(-3, 3)
+    r = np.abs(r) + 0.5
+    z = rng.uniform(-2, 2) + 0.05 * az
+    xyz = np.stack([r * np.cos(az), r * np.sin(az), np.full(n, z)], axis=-1)
+    return xyz
+
+
+def ring_to_image(xyz_ring, max_pts, n_rings=1, row=0):
+    n = len(xyz_ring)
+    xyz = np.zeros((n_rings, max_pts, 3))
+    mask = np.zeros((n_rings, max_pts), bool)
+    xyz[row, :n] = xyz_ring
+    mask[row, :n] = True
+    count = np.zeros(n_rings, np.int32)
+    count[row] = n
+    return RangeImage(jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(count))
+
+
+# A cap >= the largest block size makes the bounded NMS exactly
+# equivalent to the sequential oracle: blocks of a 512-point ring have
+# at most ceil((512-2*5)/6)+1 = 85 points.
+CFG = ExtractionConfig(n_rings=1, max_points_per_ring=512,
+                       max_selections_per_block=96)
+
+
+def test_curvature_matches_oracle():
+    rng = np.random.default_rng(0)
+    ring = make_synthetic_ring(rng, 300)
+    img = ring_to_image(ring, 512)
+    r = np.hypot(ring[:, 0], ring[:, 1])
+    want = np_ref.calc_curvature(r, CFG.padding)
+    got = np.asarray(ex.curvature_kernel(
+        jnp.where(img.mask, jnp.hypot(img.xyz[..., 0], img.xyz[..., 1]), 0.0),
+        img.count, CFG.padding))[0, :300]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_neighbor_flags_match_oracle():
+    rng = np.random.default_rng(1)
+    ring = make_synthetic_ring(rng, 200)
+    img = ring_to_image(ring, 512)
+    want = np_ref.neighbor_pairs(ring[:, :2],
+                                 math.radians(CFG.neighbor_degree_threshold))
+    got = np.asarray(ex.neighbor_flags(img.xyz, img.count,
+                                       CFG.radian_threshold))[0]
+    np.testing.assert_array_equal(got[:199], want)
+    assert not got[199:].any()
+
+
+def test_block_ids_match_oracle():
+    for n in [16, 17, 100, 301, 512]:
+        count = jnp.asarray([n])
+        got = np.asarray(ex.block_ids(count, 512, CFG.padding, CFG.n_blocks))[0]
+        bounds = np_ref.block_boundaries(n, CFG.padding, CFG.n_blocks)
+        want = np.full(512, -1)
+        for j in range(CFG.n_blocks):
+            want[bounds[j]:bounds[j + 1]] = j
+        np.testing.assert_array_equal(got, want)
+
+
+def test_block_ids_inactive_small_ring():
+    n = 2 * CFG.padding + CFG.n_blocks - 1  # one too small
+    got = np.asarray(ex.block_ids(jnp.asarray([n]), 512, CFG.padding,
+                                  CFG.n_blocks))[0]
+    assert (got == -1).all()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_full_labeling_parity(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 500))
+    ring = make_synthetic_ring(rng, n)
+    img = ring_to_image(ring, 512)
+
+    want = np_ref.extract_ring_labels(ring, CFG)
+    labels, _ = ex.label_range_image(img, CFG)
+    got = np.asarray(labels)[0, :n]
+
+    # Edge/Surface/masking labels must agree exactly. EdgeNeighbor vs
+    # SurfaceNeighbor may differ only in overwrite cases that don't
+    # affect extracted features (see ops/extraction.py docstring) — but
+    # the faithful implementation should match exactly, so require it.
+    np.testing.assert_array_equal(got, want)
+
+
+def test_multi_ring_batching_matches_single():
+    rng = np.random.default_rng(99)
+    cfg = ExtractionConfig(n_rings=4, max_points_per_ring=512,
+                           max_selections_per_block=96)
+    rings = [make_synthetic_ring(rng, int(rng.integers(30, 400)))
+             for _ in range(4)]
+    xyz = np.zeros((4, 512, 3))
+    mask = np.zeros((4, 512), bool)
+    count = np.zeros(4, np.int32)
+    for i, ring in enumerate(rings):
+        xyz[i, :len(ring)] = ring
+        mask[i, :len(ring)] = True
+        count[i] = len(ring)
+    img = RangeImage(jnp.asarray(xyz), jnp.asarray(mask), jnp.asarray(count))
+    labels, _ = ex.label_range_image(img, cfg)
+    for i, ring in enumerate(rings):
+        want = np_ref.extract_ring_labels(ring, cfg)
+        np.testing.assert_array_equal(np.asarray(labels)[i, :len(ring)], want)
+
+
+def test_extract_features_compaction():
+    rng = np.random.default_rng(3)
+    ring = make_synthetic_ring(rng, 400)
+    img = ring_to_image(ring, 512)
+    res = ex.extract_features(img, CFG)
+    labels = np.asarray(res.labels)[0, :400]
+    n_edges = int((labels == np_ref.EDGE).sum())
+    n_surf = int((labels == np_ref.SURFACE).sum())
+    assert int(res.edge_valid.sum()) == n_edges
+    assert int(res.surface_valid.sum()) == n_surf
+    # Compacted points are exactly the labeled ones, in scan order.
+    want_edges = ring[labels == np_ref.EDGE]
+    np.testing.assert_allclose(np.asarray(res.edge_xyz)[:n_edges], want_edges,
+                               atol=1e-12)
+
+
+def test_build_range_image_sorts_by_azimuth():
+    rng = np.random.default_rng(4)
+    n = 256
+    ring_sorted = make_synthetic_ring(rng, n)
+    perm = rng.permutation(n)
+    xyz = ring_sorted[perm]
+    img = build_range_image(jnp.asarray(xyz), jnp.zeros(n, jnp.int32),
+                            jnp.ones(n, bool), n_rings=1,
+                            max_points_per_ring=512)
+    assert int(img.count[0]) == n
+    np.testing.assert_allclose(np.asarray(img.xyz)[0, :n], ring_sorted,
+                               atol=1e-12)
+    assert not np.asarray(img.mask)[0, n:].any()
+
+
+def test_build_range_image_multi_ring_and_sparse_drop():
+    rng = np.random.default_rng(5)
+    # ring 0: 100 pts, ring 1: 3 pts (sparse -> dropped at min_points=6)
+    r0 = make_synthetic_ring(rng, 100)
+    r1 = make_synthetic_ring(rng, 3)
+    xyz = np.concatenate([r0, r1])
+    ring = np.concatenate([np.zeros(100, int), np.ones(3, int)])
+    perm = rng.permutation(103)
+    img = build_range_image(jnp.asarray(xyz[perm]),
+                            jnp.asarray(ring[perm]),
+                            jnp.ones(103, bool), n_rings=2,
+                            max_points_per_ring=128, min_points_per_ring=6)
+    assert int(img.count[0]) == 100
+    assert int(img.count[1]) == 0
+    assert not np.asarray(img.mask)[1].any()
+    np.testing.assert_allclose(np.asarray(img.xyz)[0, :100], r0, atol=1e-12)
