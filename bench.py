@@ -1,0 +1,124 @@
+"""Headline benchmark: end-to-end extract+register scans/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scans/s", "vs_baseline": N}
+
+The workload is the SURVEY.md §3.1 hot path on a KITTI-HDL64-sized
+synthetic scene: 64x2048 range image -> feature extraction -> 40-iter
+cap Gauss-Newton scan-to-map registration against a ~200k-point voxel
+map. The baseline divisor is the single-core C++ reference-equivalent
+pipeline measured by native/baseline_bench (see BASELINE.md); until that
+number is recorded in baseline_measured.json a conservative estimate is
+used and flagged in stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene(cfg, rng):
+    import jax.numpy as jnp
+
+    from lidar_feature_extraction_tpu.core.scan import RangeImage
+    from lidar_feature_extraction_tpu.pipeline.localization import (
+        build_feature_maps)
+
+    ex = cfg.extraction
+    R, P = ex.n_rings, ex.max_points_per_ring
+
+    # Map: urban-canyon-like world — vertical pole lines (edges) and
+    # ground/wall planes (surfaces).
+    n_lines = 60
+    line_xy = rng.uniform(-60, 60, size=(n_lines, 2))
+    zs = np.linspace(-2, 6, 40)
+    edge_pts = np.concatenate([
+        np.repeat(line_xy, len(zs), axis=0),
+        np.tile(zs, n_lines)[:, None]], axis=-1)
+    edge_pts += rng.normal(scale=0.02, size=edge_pts.shape)
+
+    g = rng.uniform(-80, 80, size=(150_000, 2))
+    ground = np.concatenate([g, rng.normal(scale=0.03,
+                                           size=(len(g), 1))], axis=-1)
+    wall_y = rng.uniform(-80, 80, size=(30_000,))
+    wall_z = rng.uniform(0, 8, size=(30_000,))
+    walls = np.stack([np.full_like(wall_y, 25.0) +
+                      rng.normal(scale=0.03, size=len(wall_y)),
+                      wall_y, wall_z], axis=-1)
+    surf_pts = np.concatenate([ground, walls])
+
+    maps = build_feature_maps(
+        jnp.asarray(edge_pts, jnp.float32),
+        jnp.ones(len(edge_pts), bool),
+        jnp.asarray(surf_pts, jnp.float32),
+        jnp.ones(len(surf_pts), bool), cfg)
+
+    # Scan from a slightly offset pose.
+    az = np.sort(rng.uniform(-np.pi, np.pi, size=(R, P)), axis=-1)
+    elev = np.radians(np.linspace(2.0, -24.8, R))[:, None]
+    rr = 8.0 + 4.0 * np.abs(np.sin(3 * az)) \
+        + rng.normal(scale=0.01, size=(R, P))
+    xy = rr * np.cos(elev)
+    xyz = np.stack([xy * np.cos(az), xy * np.sin(az),
+                    rr * np.sin(elev)], axis=-1)
+    image = RangeImage(
+        xyz=jnp.asarray(xyz, jnp.float32),
+        mask=jnp.ones((R, P), bool),
+        count=jnp.full((R,), P, jnp.int32))
+    return maps, image
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_feature_extraction_tpu.config import kitti_hdl64
+    from lidar_feature_extraction_tpu.core.pose import Pose
+    from lidar_feature_extraction_tpu.pipeline.localization import (
+        localize_scan)
+
+    cfg = kitti_hdl64()
+    rng = np.random.default_rng(0)
+    maps, image = build_scene(cfg, rng)
+    prior = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                 t=jnp.asarray([0.3, -0.2, 0.05], jnp.float32))
+
+    step = jax.jit(lambda m, im, p: localize_scan(m, im, p, cfg))
+
+    # Warmup / compile.
+    out = step(maps, image, prior)
+    jax.block_until_ready(out)
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step(maps, image, prior)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    scans_per_sec = n_iters / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "baseline_measured.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["cpp_single_core_scans_per_sec"]
+    else:
+        baseline = 10.0  # conservative estimate, see BASELINE.md
+        print("warning: using estimated baseline 10 scans/s "
+              "(native/baseline_bench not yet measured)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "extract_register_scans_per_sec_single_chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

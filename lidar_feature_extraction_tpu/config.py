@@ -153,9 +153,16 @@ class PipelineConfig:
 
 
 def kitti_hdl64() -> PipelineConfig:
-    """Config preset for KITTI HDL-64E scans."""
+    """Config preset for KITTI HDL-64E scans with the reference's
+    production extraction parameters (``lidar_feature_launch/config/
+    lidar_feature_extraction.param.yaml``: padding=2, neighbor 3 deg,
+    edge_threshold=50, max_range=1000; surface_threshold keeps the code
+    default 0.05)."""
     return PipelineConfig(
-        extraction=ExtractionConfig(n_rings=64, max_points_per_ring=2304))
+        extraction=ExtractionConfig(
+            n_rings=64, max_points_per_ring=2304,
+            padding=2, neighbor_degree_threshold=3.0,
+            edge_threshold=50.0, max_range=1000.0))
 
 
 def vlp16() -> PipelineConfig:

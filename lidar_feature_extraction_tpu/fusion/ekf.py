@@ -82,15 +82,18 @@ class EkfState(NamedTuple):
     td: kalman.TimeDelayState
 
 
-def init_ekf(cfg: EkfConfig, x0=None, p0=None,
+def init_ekf(cfg: EkfConfig, x0=None, p0=None, pose_cov=(1e4, 1e4, 1e2),
              dtype=jnp.float32) -> EkfState:
-    """Initial covariance mirrors callbackInitialPose defaults /
-    the node constructor's huge priors (ekf_localizer.cpp:70-90)."""
+    """Initial state/covariance parity with ``InitState``/
+    ``InitCovariance`` (ekf_localizer.cpp:104-114): pose entries from
+    the initial-pose covariance, yaw_bias var 0.0001 (0 when bias
+    estimation is disabled the bias state just stays 0), vx/wz 0.01."""
     if x0 is None:
         x0 = jnp.zeros(DIM_X, dtype)
     if p0 is None:
         p0 = jnp.diag(jnp.asarray(
-            [1e15, 1e15, 50.0, 50.0, 1e15, 50.0], dtype))
+            [pose_cov[0], pose_cov[1], pose_cov[2], 1e-4, 1e-2, 1e-2],
+            dtype))
     return EkfState(td=kalman.init_time_delay(x0, p0, cfg.extend_state_step))
 
 

@@ -51,7 +51,10 @@ def eigh3x3(a: jnp.ndarray, eps: float = 1e-30):
     w = jnp.stack([w0, w1, w2], axis=-1)
 
     # Degenerate (near-isotropic) matrices: p2 ~ 0 -> all eigenvalues q.
-    iso = p2 < 1e-12 * jnp.maximum(q * q, 1.0)
+    # Threshold is relative to the matrix scale (q) so tiny- and huge-
+    # magnitude covariances behave identically; the absolute floor only
+    # catches the exactly-zero matrix.
+    iso = p2 < (1e-12 * q * q + 1e-30)
 
     def eigenvector(lam):
         """Unit eigenvector for eigenvalue lam via the largest cross

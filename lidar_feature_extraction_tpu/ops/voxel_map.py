@@ -219,7 +219,7 @@ def knn(vm: VoxelHashMap, queries: jnp.ndarray, k: int,
     sq = jnp.where(cand_ok, sq, jnp.inf)
     neg_top, top_idx = jax.lax.top_k(-sq, k)
     sq_k = -neg_top
-    nbrs = jnp.take_along_axis(cand, top_idx, axis=1)
+    nbrs = jnp.take_along_axis(cand, top_idx[..., None], axis=1)
     valid = jnp.isfinite(sq_k)
     nbrs = jnp.where(valid[..., None], nbrs, 0.0)
     return nbrs, sq_k, valid

@@ -1,15 +1,17 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
-# without TPU hardware (SURVEY.md §4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# without TPU hardware (SURVEY.md §4). NOTE: this environment pins
+# JAX_PLATFORMS=axon (single real TPU chip via a tunnel) and its site
+# hook re-registers the axon backend regardless of the env var, so the
+# platform must be forced through jax.config AFTER import — otherwise
+# every test competes for the one chip and serializes/deadlocks.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-# Persistent compilation cache: jit-heavy tests recompile identical
-# programs across runs otherwise.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -113,7 +113,7 @@ def test_robust_to_outliers():
     rng = np.random.default_rng(3)
     src = jnp.asarray(rng.uniform(-5, 5, size=(200, 3)))
     true = random_pose(rng, angle=0.2, trans=0.3)
-    dst = np.asarray(true.apply(src))
+    dst = np.array(true.apply(src))
     dst[:8] += rng.uniform(5, 10, size=(8, 3))  # 4% outliers
     problem_fn = alignment_problem(src, jnp.asarray(dst),
                                    jnp.ones(200, bool))

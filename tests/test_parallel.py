@@ -1,0 +1,117 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: data-parallel
+batched localization and the distributed pose-graph optimizer (psum over
+the mesh) must match single-device results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_feature_extraction_tpu.core import quaternion as quat
+from lidar_feature_extraction_tpu.parallel.mesh import make_mesh
+from lidar_feature_extraction_tpu.parallel.pose_graph import (
+    Constraints, PoseGraph, constraint_residual,
+    make_distributed_pose_graph_optimizer, optimize_pose_graph)
+
+
+def chain_graph(rng, k, noise=0.1):
+    """Ground-truth chain of poses + noisy initial guesses + exact
+    odometry constraints."""
+    qs, ts = [jnp.asarray([1.0, 0, 0, 0])], [jnp.zeros(3)]
+    for _ in range(k - 1):
+        dq = quat.exp_so3(jnp.asarray(rng.normal(scale=0.1, size=3)))
+        dt = jnp.asarray(rng.normal(scale=1.0, size=3))
+        qs.append(quat.quat_normalize(quat.quat_multiply(qs[-1], dq)))
+        ts.append(ts[-1] + quat.quat_rotate(qs[-1], dt))
+    q_true = jnp.stack(qs).astype(jnp.float32)
+    t_true = jnp.stack(ts).astype(jnp.float32)
+
+    # constraints: consecutive relative poses (exact)
+    i = jnp.arange(k - 1, dtype=jnp.int32)
+    j = i + 1
+    zq = quat.quat_normalize(quat.quat_multiply(
+        quat.quat_conjugate(q_true[i]), q_true[j]))
+    zt = quat.quat_rotate(quat.quat_conjugate(q_true[i]),
+                          t_true[j] - t_true[i])
+    cons = Constraints(i=i, j=j, z_q=zq, z_t=zt,
+                       weight=jnp.ones(k - 1, jnp.float32))
+
+    # noisy initialization (keep pose 0 exact: it is gauge-fixed)
+    qn = np.asarray(q_true).copy()
+    tn = np.asarray(t_true).copy()
+    for idx in range(1, k):
+        dq = np.asarray(quat.exp_so3(jnp.asarray(
+            rng.normal(scale=noise, size=3))))
+        qn[idx] = np.asarray(quat.quat_multiply(jnp.asarray(qn[idx]),
+                                                jnp.asarray(dq)))
+        tn[idx] += rng.normal(scale=noise, size=3)
+    init = PoseGraph(poses_q=jnp.asarray(qn, jnp.float32),
+                     poses_t=jnp.asarray(tn, jnp.float32))
+    truth = PoseGraph(poses_q=q_true, poses_t=t_true)
+    return init, truth, cons
+
+
+def test_constraint_residual_zero_at_truth():
+    rng = np.random.default_rng(0)
+    _, truth, cons = chain_graph(rng, 8)
+    r = jax.vmap(constraint_residual)(
+        truth.poses_q[cons.i], truth.poses_t[cons.i],
+        truth.poses_q[cons.j], truth.poses_t[cons.j],
+        cons.z_q, cons.z_t)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-5)
+
+
+def test_single_device_pose_graph_converges():
+    rng = np.random.default_rng(1)
+    init, truth, cons = chain_graph(rng, 12)
+    out = optimize_pose_graph(init, cons, n_iterations=15)
+    np.testing.assert_allclose(np.asarray(out.poses_t),
+                               np.asarray(truth.poses_t), atol=2e-2)
+
+
+def test_distributed_matches_single_device():
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(2)
+    k = 12
+    init, truth, cons = chain_graph(rng, k)
+    # Pad constraints to a multiple of the mesh size with zero-weight
+    # lanes (sharding requires even division).
+    m = len(np.asarray(cons.i))
+    pad = (-m) % 8
+    cons_p = Constraints(
+        i=jnp.concatenate([cons.i, jnp.zeros(pad, jnp.int32)]),
+        j=jnp.concatenate([cons.j, jnp.ones(pad, jnp.int32)]),
+        z_q=jnp.concatenate([cons.z_q, jnp.tile(
+            jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (pad, 1))]),
+        z_t=jnp.concatenate([cons.z_t, jnp.zeros((pad, 3), jnp.float32)]),
+        weight=jnp.concatenate([cons.weight, jnp.zeros(pad, jnp.float32)]))
+
+    mesh = make_mesh(8)
+    run = make_distributed_pose_graph_optimizer(mesh, k)
+    out_dist = run(init, cons_p)
+    out_single = optimize_pose_graph(init, cons_p)
+
+    np.testing.assert_allclose(np.asarray(out_dist.poses_t),
+                               np.asarray(out_single.poses_t),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_dist.poses_t),
+                               np.asarray(truth.poses_t), atol=2e-2)
+
+
+def test_zero_weight_lanes_are_inert():
+    rng = np.random.default_rng(3)
+    init, _, cons = chain_graph(rng, 8)
+    out1 = optimize_pose_graph(init, cons, n_iterations=5)
+    # Append garbage constraints with weight 0.
+    garbage = Constraints(
+        i=jnp.concatenate([cons.i, jnp.asarray([0, 3], jnp.int32)]),
+        j=jnp.concatenate([cons.j, jnp.asarray([5, 6], jnp.int32)]),
+        z_q=jnp.concatenate([cons.z_q, jnp.asarray(
+            [[0.0, 1.0, 0, 0], [0.5, 0.5, 0.5, 0.5]], jnp.float32)]),
+        z_t=jnp.concatenate([cons.z_t,
+                             jnp.full((2, 3), 99.0, jnp.float32)]),
+        weight=jnp.concatenate([cons.weight, jnp.zeros(2, jnp.float32)]))
+    out2 = optimize_pose_graph(init, garbage, n_iterations=5)
+    np.testing.assert_allclose(np.asarray(out1.poses_t),
+                               np.asarray(out2.poses_t), atol=1e-6)

@@ -31,7 +31,8 @@ class TestEig3:
         np.testing.assert_allclose(av, wv, atol=1e-6)
         # Orthonormal
         vtv = np.einsum("nij,nik->njk", v, v)
-        np.testing.assert_allclose(vtv, np.eye(3)[None], atol=1e-7)
+        np.testing.assert_allclose(
+            vtv, np.broadcast_to(np.eye(3), vtv.shape), atol=1e-7)
 
     def test_line_degenerate(self):
         """Rank-1 covariance (points on a line): principal must be the
@@ -194,8 +195,14 @@ class TestResiduals:
         p1, p2 = mean - principal, mean + principal
 
         def res_fn(qt):
+            # Homogeneous rotation form (Sola eq. 112): its ambient
+            # 4-coordinate derivative is DRpDq; the Rodrigues form
+            # agrees on values at |q|=1 but not on ambient derivatives.
             q, t = qt[:4], qt[4:]
-            p = quat.quat_rotate(q, scan) + t
+            w, v = q[0], q[1:]
+            p = ((w * w - v @ v) * scan
+                 + 2.0 * (scan @ v)[:, None] * v[None, :]
+                 + 2.0 * w * jnp.cross(v[None, :], scan)) + t
             return jnp.cross(p - p1, p - p2)
 
         jac_ad = jax.jacfwd(res_fn)(jnp.concatenate([q0, t0]))  # [4,3,7]
