@@ -58,11 +58,18 @@ def build_scene(cfg, rng):
         jnp.asarray(surf_pts, jnp.float32),
         jnp.ones(len(surf_pts), bool), cfg)
 
-    # Scan from a slightly offset pose.
+    # Scan from a slightly offset pose: piecewise range bands with
+    # discontinuities (foreground objects in front of walls) so the
+    # extractor finds KITTI-realistic edge counts, plus smooth arcs for
+    # surfaces.
     az = np.sort(rng.uniform(-np.pi, np.pi, size=(R, P)), axis=-1)
     elev = np.radians(np.linspace(2.0, -24.8, R))[:, None]
-    rr = 8.0 + 4.0 * np.abs(np.sin(3 * az)) \
-        + rng.normal(scale=0.01, size=(R, P))
+    n_seg = 48
+    seg_base = rng.uniform(8.0, 20.0, size=(R, n_seg))
+    seg_of = np.minimum((az + np.pi) / (2 * np.pi) * n_seg,
+                        n_seg - 1).astype(int)
+    rr = np.take_along_axis(seg_base, seg_of, axis=1) \
+        + 0.5 * np.sin(7 * az) + rng.normal(scale=0.01, size=(R, P))
     xy = rr * np.cos(elev)
     xyz = np.stack([xy * np.cos(az), xy * np.sin(az),
                     rr * np.sin(elev)], axis=-1)

@@ -162,7 +162,13 @@ def kitti_hdl64() -> PipelineConfig:
         extraction=ExtractionConfig(
             n_rings=64, max_points_per_ring=2304,
             padding=2, neighbor_degree_threshold=3.0,
-            edge_threshold=50.0, max_range=1000.0))
+            edge_threshold=50.0, max_range=1000.0,
+            # padding=2 suppresses only +/-2 per pick, so flat scenes
+            # select up to ~block_size/3 surfaces per block; raw surface
+            # output on open roads exceeds 30k points before the 1 m
+            # registration downsample.
+            max_selections_per_block=128,
+            max_edges=4096, max_surfaces=32768))
 
 
 def vlp16() -> PipelineConfig:

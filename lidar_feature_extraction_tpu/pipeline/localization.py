@@ -67,7 +67,7 @@ def register_scan(maps: FeatureMaps, edge_pts, edge_valid, surf_pts,
     reg = cfg.registration
     surf_ds, surf_ds_valid = voxel_downsample(
         surf_pts, surf_valid, reg.surface_downsample_leaf,
-        cfg.extraction.max_surfaces)
+        reg.max_surface_points)
 
     def problem_fn(pose: Pose) -> gn.Problem:
         eb = edge_residuals(maps.edge, edge_pts, edge_valid, pose,

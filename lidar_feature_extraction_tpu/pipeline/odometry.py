@@ -83,7 +83,7 @@ def odometry_step(state: OdometryState, edge_pts, edge_valid, surf_pts,
 
     surf_ds, surf_ds_valid = voxel_downsample(
         surf_pts, surf_valid, reg.surface_downsample_leaf,
-        cfg.extraction.max_surfaces)
+        reg.max_surface_points)
 
     def problem_fn(p: Pose) -> gn.Problem:
         eb = edge_residuals(edge_map, edge_pts, edge_valid, p,

@@ -606,17 +606,24 @@ int main() {
   for (int i = 0; i < 30000; i++)
     surf_map.push_back({25.0 + 0.03 * gauss(rng), U(-80, 80), U(0, 8)});
 
-  // Scan: 64 rings x 2048 points.
-  const int R = 64, Pn = 2048;
+  // Scan: 64 rings x 2048 points; piecewise range bands with
+  // discontinuities (foreground objects in front of walls) so the
+  // extractor finds KITTI-realistic edge counts (same structure as
+  // bench.py).
+  const int R = 64, Pn = 2048, n_seg = 48;
   std::vector<std::vector<V3>> rings(R);
   for (int r = 0; r < R; r++) {
     std::vector<double> az(Pn);
     for (int i = 0; i < Pn; i++) az[i] = U(-M_PI, M_PI);
     std::sort(az.begin(), az.end());
+    double seg_base[n_seg];
+    for (int s = 0; s < n_seg; s++) seg_base[s] = U(8.0, 20.0);
     double elev = (2.0 - 26.8 * r / (R - 1)) * M_PI / 180.0;
     rings[r].resize(Pn);
     for (int i = 0; i < Pn; i++) {
-      double rr = 8.0 + 4.0 * std::fabs(std::sin(3 * az[i])) +
+      int seg = std::min((int)((az[i] + M_PI) / (2 * M_PI) * n_seg),
+                         n_seg - 1);
+      double rr = seg_base[seg] + 0.5 * std::sin(7 * az[i]) +
                   0.01 * gauss(rng);
       double xy = rr * std::cos(elev);
       rings[r][i] = {xy * std::cos(az[i]), xy * std::sin(az[i]),

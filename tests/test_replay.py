@@ -1,0 +1,112 @@
+"""Closed-loop replay test: localization + EKF feedback over a short
+synthetic drive, evaluated with ATE (the full SURVEY.md §3.1+3.2 loop)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_feature_extraction_tpu.config import (ExtractionConfig,
+                                                 PipelineConfig,
+                                                 RegistrationConfig,
+                                                 VoxelMapConfig)
+from lidar_feature_extraction_tpu.core import quaternion as quat
+from lidar_feature_extraction_tpu.core.pose import Pose
+from lidar_feature_extraction_tpu.pipeline.localization import (
+    build_feature_maps)
+from lidar_feature_extraction_tpu.pipeline.replay import (
+    FusedLocalizationPipeline)
+from lidar_feature_extraction_tpu.utils.evaluation import (ate_rmse,
+                                                           umeyama_alignment)
+
+
+def small_cfg():
+    vm = VoxelMapConfig(voxel_size=2.0, table_capacity=1 << 12,
+                        points_per_voxel=16, max_probes=8)
+    return PipelineConfig(
+        extraction=ExtractionConfig(n_rings=16, max_points_per_ring=512,
+                                    max_selections_per_block=32,
+                                    max_edges=512, max_surfaces=2048),
+        registration=RegistrationConfig(n_neighbors=8, max_iterations=20,
+                                        edge_map=vm, surface_map=vm))
+
+
+def make_world(rng):
+    zs = np.linspace(-2, 4, 40)
+    poles = []
+    for _ in range(30):
+        xy = rng.uniform(-25, 25, size=2)
+        poles.append(np.concatenate(
+            [np.tile(xy, (len(zs), 1)), zs[:, None]], axis=-1))
+    edge_pts = np.concatenate(poles) + rng.normal(
+        scale=0.01, size=(30 * len(zs), 3))
+    # Ground sits 1.7 m below the sensor (KITTI-like): the w.x = -1
+    # plane parameterization (surface.hpp:47) cannot represent planes
+    # through the origin, in the reference exactly as here.
+    g = rng.uniform(-30, 30, size=(8000, 2))
+    ground = np.concatenate(
+        [g, -1.7 + rng.normal(scale=0.01, size=(8000, 1))], axis=-1)
+    return edge_pts, ground
+
+
+def synth_scan(world_edges, world_surfs, pose, rng, n_rings=16):
+    """Feature-bearing scan in the sensor frame: a mix of pole hits and
+    ground hits, with plausible ring ids."""
+    inv = pose.inverse()
+    e_idx = rng.choice(len(world_edges), size=400, replace=False)
+    s_idx = rng.choice(len(world_surfs), size=1500, replace=False)
+    pts_w = np.concatenate([world_edges[e_idx], world_surfs[s_idx]])
+    pts = np.asarray(inv.apply(jnp.asarray(pts_w, jnp.float32)))
+    d = np.linalg.norm(pts[:, :2], axis=-1)
+    elev = np.arctan2(pts[:, 2], np.maximum(d, 1e-6))
+    frac = (np.radians(15.0) - elev) / np.radians(30.0)
+    ring = np.clip((frac * n_rings).astype(np.int32), 0, n_rings - 1)
+    return pts, ring
+
+
+def test_closed_loop_localization_tracks_drive():
+    rng = np.random.default_rng(0)
+    cfg = small_cfg()
+    world_edges, world_surfs = make_world(rng)
+    maps = build_feature_maps(
+        jnp.asarray(world_edges, jnp.float32),
+        jnp.ones(len(world_edges), bool),
+        jnp.asarray(world_surfs, jnp.float32),
+        jnp.ones(len(world_surfs), bool), cfg)
+
+    pipeline = FusedLocalizationPipeline(maps, cfg,
+                                         initial_pose=Pose.identity())
+
+    gt = []
+    est = []
+    for i in range(6):
+        yaw = 0.03 * i
+        t = np.array([0.5 * i, 0.1 * i, 0.0])
+        pose = Pose(q=quat.exp_so3(jnp.asarray([0, 0, yaw], jnp.float32)),
+                    t=jnp.asarray(t, jnp.float32))
+        pts, ring = synth_scan(world_edges, world_surfs, pose, rng)
+        res = pipeline.process_scan(pts, ring, stamp=0.1 * i)
+        gt.append(t)
+        est.append(np.asarray(res.measured_pose.t))
+
+    gt = np.stack(gt)
+    est = np.stack(est)
+    # Assert on x/y: the EKF<->GN loop tracks planar motion. z is weakly
+    # observable here because the synthetic scan is a sparse random
+    # subsample, not a dense sweep — pole points mix into surface
+    # matches (real scans constrain z via dense ground rings).
+    err_xy = ate_rmse(np.pad(est[:, :2], ((0, 0), (0, 1))),
+                      np.pad(gt[:, :2], ((0, 0), (0, 1))), align=False)
+    assert err_xy < 0.2, (err_xy, est, gt)
+
+
+def test_umeyama_alignment_recovers_transform():
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(50, 3))
+    r_true = np.asarray(quat.quat_to_matrix(quat.exp_so3(
+        jnp.asarray([0.2, -0.1, 0.4]))))
+    t_true = np.array([1.0, -2.0, 0.5])
+    dst = (r_true @ src.T).T + t_true
+    r, t, s = umeyama_alignment(src, dst)
+    np.testing.assert_allclose(r, r_true, atol=1e-6)
+    np.testing.assert_allclose(t, t_true, atol=1e-6)
+    assert abs(s - 1.0) < 1e-12
+    assert ate_rmse(src, dst, align=True) < 1e-6
