@@ -21,6 +21,13 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: the axon remote-compile path takes
+# minutes for the fused registration graph; cache it across runs.
+# (Safe single-process; two processes must never share the one chip.)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 
 def build_scene(cfg, rng):
     import jax.numpy as jnp

@@ -94,6 +94,16 @@ class RegistrationConfig:
     huber_k: float = 1.345           # robust.hpp
     degeneracy_threshold: float = 0.1  # degenerate.hpp / optimizer.cpp:67
     surface_downsample_leaf: float = 1.0  # surface.hpp:111
+    # TPU deviation from the reference's per-iteration KD-tree search:
+    # the 27-voxel candidate sets are gathered once per search round and
+    # the Gauss-Newton inner iterations only re-rank them (valid while
+    # the pose correction stays below a voxel size). n_search_rounds
+    # splits max_iterations into that many gather+optimize rounds.
+    n_search_rounds: int = 2
+    # Dense-grid cell counts for the scan-to-scan odometry window (the
+    # grid is re-centered on the current pose every step; extent in
+    # meters = dims * voxel_size of the respective map config).
+    odometry_grid_dims: Tuple[int, int, int] = (128, 128, 32)
     edge_map: VoxelMapConfig = dataclasses.field(
         default_factory=lambda: VoxelMapConfig(voxel_size=1.0))
     surface_map: VoxelMapConfig = dataclasses.field(

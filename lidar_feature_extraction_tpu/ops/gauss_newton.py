@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from lidar_feature_extraction_tpu.core import quaternion as quat
 from lidar_feature_extraction_tpu.core import stats
 from lidar_feature_extraction_tpu.core.pose import Pose
+from lidar_feature_extraction_tpu.ops import smallalg
 
 # Status codes (parity: the OptimizationResult constructors,
 # optimization_result.hpp:47-80).
@@ -110,11 +111,12 @@ def weighted_update(q: jnp.ndarray, weights: jnp.ndarray,
     M = make_m(q)
     H = M.T @ A @ M
     g = M.T @ b
-    # Solve via Cholesky like the reference's LLT.
-    L = jnp.linalg.cholesky(H + 0.0 * jnp.eye(6, dtype=H.dtype))
-    dx = -jax.scipy.linalg.cho_solve((L, True), g)
+    # Unrolled Cholesky solve (the reference's LLT, optimizer.cpp:71) —
+    # smallalg keeps tiny factorizations as straight-line VPU code
+    # instead of XLA's iterative linalg lowerings.
+    dx = -smallalg.cholesky_solve(H, g)
 
-    eigvals = jnp.linalg.eigvalsh(D)
+    eigvals = smallalg.jacobi_eigvalsh(D)
     degenerate = jnp.any(jnp.abs(eigvals) < degeneracy_threshold)
     bad = degenerate | ~jnp.all(jnp.isfinite(dx))
     return jnp.where(bad, jnp.zeros_like(dx), dx)

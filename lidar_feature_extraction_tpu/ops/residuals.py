@@ -10,13 +10,21 @@ TPU re-design of the reference's per-point residual factories:
   [Hat(p2-p1) @ DRpDq | Hat(p2-p1)] in R^{3x7};
 - surface (point-to-plane): ``Surface::Make`` (``surface.hpp:96-143``).
   Per downsampled point: k-NN in the surface map, least-squares plane
-  X w = -1, residual (w.x + 1)/|w| in R, Jacobian [u^T DRpDq | u^T] with
-  u = w/|w|.
+  X w = -1, residual (w.x + 1)/|w| in R, Jacobian [u^T DRpDq | u^T]
+  with u = w/|w|.
 
-Everything is one fused batch: [N] correspondences at a time on the MXU/
-VPU rather than N scalar loop iterations. Invalid lanes (masked scan
-points, starved neighborhoods) carry zero Jacobians/residuals so they
-drop out of the normal equations.
+Everything is one fused batch on the VPU/MXU. Invalid lanes (masked
+scan points, starved neighborhoods) carry zero Jacobians/residuals so
+they drop out of the normal equations.
+
+Two retrieval paths:
+- ``edge_residuals`` / ``surface_residuals``: full kNN against a map
+  structure (dense voxel grid or voxel-hash table);
+- ``*_residuals_from_candidates``: top-k against a **cached candidate
+  set** gathered once per search round — the retrieval gather is the
+  measured hot-path bottleneck on TPU, and candidates from the 27-voxel
+  neighborhood of the prior pose stay valid while pose corrections are
+  below a voxel size, so the Gauss-Newton inner loop only re-ranks.
 """
 
 from __future__ import annotations
@@ -28,7 +36,9 @@ import jax.numpy as jnp
 from lidar_feature_extraction_tpu.core import quaternion as quat
 from lidar_feature_extraction_tpu.core.pose import Pose
 from lidar_feature_extraction_tpu.ops.eig3 import eigh3x3
-from lidar_feature_extraction_tpu.ops.voxel_map import VoxelHashMap, knn
+from lidar_feature_extraction_tpu.ops.smallalg import solve3x3_sym
+from lidar_feature_extraction_tpu.ops import voxel_grid as vg
+from lidar_feature_extraction_tpu.ops import voxel_map as vh
 
 
 class ResidualBlock(NamedTuple):
@@ -41,6 +51,13 @@ class ResidualBlock(NamedTuple):
     jacobian: jnp.ndarray
     residual: jnp.ndarray
     valid: jnp.ndarray
+
+
+def lookup_knn(map_struct, queries: jnp.ndarray, k: int):
+    """kNN against either map structure (static dispatch at trace time)."""
+    if isinstance(map_struct, vg.DenseVoxelGrid):
+        return vg.knn(map_struct, queries, k)
+    return vh.knn(map_struct, queries, k)
 
 
 def masked_mean_and_cov(pts: jnp.ndarray, valid: jnp.ndarray):
@@ -57,17 +74,11 @@ def masked_mean_and_cov(pts: jnp.ndarray, valid: jnp.ndarray):
     return mean, cov
 
 
-def edge_residuals(edge_map: VoxelHashMap, scan_pts: jnp.ndarray,
-                   scan_valid: jnp.ndarray, pose: Pose, k: int,
-                   min_neighbors: int = 5) -> ResidualBlock:
-    """Point-to-line residuals for every (masked) edge scan point.
-
-    scan_pts: [N, 3] in sensor frame. ``min_neighbors`` gates starved
-    voxel neighborhoods (deviation from the KD-tree which always finds k
-    neighbors; see ops/voxel_map.py docstring).
-    """
-    p_map = pose.apply(scan_pts)                       # query in map frame
-    nbrs, _, nvalid = knn(edge_map, p_map, k)
+def edge_rows_from_neighbors(nbrs, nvalid, scan_pts, scan_valid,
+                             pose: Pose, min_neighbors: int
+                             ) -> ResidualBlock:
+    """Linearize point-to-line residuals given the k neighborhoods."""
+    p_map = pose.apply(scan_pts)
     mean, cov = masked_mean_and_cov(nbrs, nvalid)
     _, evecs = eigh3x3(cov)
     principal = evecs[..., :, 2]                       # largest eigenvalue
@@ -87,28 +98,29 @@ def edge_residuals(edge_map: VoxelHashMap, scan_pts: jnp.ndarray,
                          valid=ok)
 
 
-def fit_plane(nbrs: jnp.ndarray, valid: jnp.ndarray, eps: float = 1e-12):
+def fit_plane(nbrs: jnp.ndarray, valid: jnp.ndarray,
+              eps: float = 1e-9) -> jnp.ndarray:
     """Least-squares plane X w = -1 over valid neighbors, batched.
 
     Parity: ``EstimatePlaneCoefficients`` (surface.hpp:79-83) solves the
     overdetermined system with Householder QR; we use the normal
-    equations (X^T X) w = -X^T 1 with a Tikhonov floor — same least-
-    squares solution for well-conditioned neighborhoods.
+    equations (X^T X) w = -X^T 1 closed-form (smallalg.solve3x3_sym)
+    with a Tikhonov floor — the same least-squares solution for
+    well-conditioned neighborhoods.
     """
     w = valid.astype(nbrs.dtype)[..., None]
     xw = nbrs * w
     ata = jnp.einsum("...ki,...kj->...ij", xw, nbrs)   # [..., 3, 3]
     atb = -jnp.sum(xw, axis=-2)                        # [..., 3]
     ata = ata + eps * jnp.eye(3, dtype=nbrs.dtype)
-    return jnp.linalg.solve(ata, atb[..., None])[..., 0]
+    return solve3x3_sym(ata, atb)
 
 
-def surface_residuals(surface_map: VoxelHashMap, scan_pts: jnp.ndarray,
-                      scan_valid: jnp.ndarray, pose: Pose, k: int,
-                      min_neighbors: int = 5) -> ResidualBlock:
-    """Point-to-plane residuals for every (masked) surface scan point."""
+def surface_rows_from_neighbors(nbrs, nvalid, scan_pts, scan_valid,
+                                pose: Pose, min_neighbors: int
+                                ) -> ResidualBlock:
+    """Linearize point-to-plane residuals given the k neighborhoods."""
     p_map = pose.apply(scan_pts)
-    nbrs, _, nvalid = knn(surface_map, p_map, k)
     w = fit_plane(nbrs, nvalid)                        # [N, 3]
     wnorm = jnp.linalg.norm(w, axis=-1, keepdims=True)
     u = w / jnp.maximum(wnorm, 1e-12)
@@ -125,3 +137,40 @@ def surface_residuals(surface_map: VoxelHashMap, scan_pts: jnp.ndarray,
     return ResidualBlock(jacobian=jnp.where(okf[..., None], jac, 0.0),
                          residual=jnp.where(okf, res, 0.0),
                          valid=ok)
+
+
+# --- full-search paths ---
+
+def edge_residuals(edge_map, scan_pts, scan_valid, pose: Pose, k: int,
+                   min_neighbors: int = 5) -> ResidualBlock:
+    nbrs, _, nvalid = lookup_knn(edge_map, pose.apply(scan_pts), k)
+    return edge_rows_from_neighbors(nbrs, nvalid, scan_pts, scan_valid,
+                                    pose, min_neighbors)
+
+
+def surface_residuals(surface_map, scan_pts, scan_valid, pose: Pose,
+                      k: int, min_neighbors: int = 5) -> ResidualBlock:
+    nbrs, _, nvalid = lookup_knn(surface_map, pose.apply(scan_pts), k)
+    return surface_rows_from_neighbors(nbrs, nvalid, scan_pts, scan_valid,
+                                       pose, min_neighbors)
+
+
+# --- cached-candidate paths ---
+
+def edge_residuals_from_candidates(cand, cand_ok, scan_pts, scan_valid,
+                                   pose: Pose, k: int,
+                                   min_neighbors: int = 5) -> ResidualBlock:
+    p_map = pose.apply(scan_pts)
+    nbrs, _, nvalid = vg.topk_from_candidates(cand, cand_ok, p_map, k)
+    return edge_rows_from_neighbors(nbrs, nvalid, scan_pts, scan_valid,
+                                    pose, min_neighbors)
+
+
+def surface_residuals_from_candidates(cand, cand_ok, scan_pts, scan_valid,
+                                      pose: Pose, k: int,
+                                      min_neighbors: int = 5
+                                      ) -> ResidualBlock:
+    p_map = pose.apply(scan_pts)
+    nbrs, _, nvalid = vg.topk_from_candidates(cand, cand_ok, p_map, k)
+    return surface_rows_from_neighbors(nbrs, nvalid, scan_pts, scan_valid,
+                                       pose, min_neighbors)

@@ -186,6 +186,25 @@ _OFFSETS = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
             for dz in (-1, 0, 1)]
 
 
+def neighborhood_candidates(vm: VoxelHashMap, queries: jnp.ndarray,
+                            max_probes: int = 16):
+    """Gather the 27-voxel candidate sets around each query (the
+    cacheable retrieval half of kNN; same contract as
+    voxel_grid.neighborhood_candidates)."""
+    capacity = vm.keys.shape[0]
+    slots = vm.points.shape[1]
+    q = queries.shape[0]
+    qkey = _pack_coords(queries, vm.voxel_size, vm.origin)
+    nk = jnp.stack([_shift_key(qkey, d) for d in _OFFSETS], axis=-1)
+    bucket = _find_buckets(vm.keys, nk, capacity, max_probes)
+    safe_bucket = jnp.maximum(bucket, 0)
+    cand = vm.points[safe_bucket]
+    cnt = vm.n_pts[safe_bucket]
+    slot_idx = jnp.arange(slots)[None, None, :]
+    ok = (bucket[..., None] >= 0) & (slot_idx < cnt[..., None])
+    return cand.reshape(q, 27 * slots, 3), ok.reshape(q, 27 * slots)
+
+
 @partial(jax.jit, static_argnames=("k", "max_probes"))
 def knn(vm: VoxelHashMap, queries: jnp.ndarray, k: int,
         max_probes: int = 16):

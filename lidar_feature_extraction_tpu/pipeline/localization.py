@@ -3,10 +3,19 @@
 (``localization/include/lidar_feature_localization/localizer.hpp:50-98``,
 ``loam_optimization_problem.hpp:51-88``).
 
-One jitted step fuses the whole per-scan hot path of SURVEY.md §3.1:
-range-image organization -> feature extraction -> iterative GN with
-voxel-hash correspondence search -> pose. The feature maps live on
-device as voxel-hash tables built once at load time.
+One jitted step fuses the per-scan hot path of SURVEY.md §3.1:
+range-image organization -> feature extraction -> Gauss-Newton with
+voxel-grid correspondence search -> pose. The feature maps live on
+device as dense direct-addressed voxel grids (ops/voxel_grid.py; the
+voxel-hash table remains available for unbounded worlds).
+
+Correspondence strategy (measured-driven deviation from the reference):
+the reference re-searches the KD-tree every GN iteration
+(optimizer.hpp:85-86). On TPU the candidate gather is the bottleneck,
+so registration runs ``n_search_rounds`` outer rounds — each gathers
+the 27-voxel candidate sets once at the current pose, then the GN inner
+loop re-ranks cached candidates per iteration. Equivalent while pose
+corrections stay below one voxel; acceptance is ATE parity.
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -23,33 +33,45 @@ from lidar_feature_extraction_tpu.core.scan import RangeImage
 from lidar_feature_extraction_tpu.ops import gauss_newton as gn
 from lidar_feature_extraction_tpu.ops.downsample import voxel_downsample
 from lidar_feature_extraction_tpu.ops.extraction import extract_features
-from lidar_feature_extraction_tpu.ops.residuals import (edge_residuals,
-                                                        surface_residuals)
-from lidar_feature_extraction_tpu.ops.voxel_map import (VoxelHashMap,
-                                                        build_voxel_map)
+from lidar_feature_extraction_tpu.ops.residuals import (
+    edge_residuals_from_candidates, surface_residuals_from_candidates)
+from lidar_feature_extraction_tpu.ops import voxel_grid as vg
 
 
 class FeatureMaps(NamedTuple):
-    edge: VoxelHashMap
-    surface: VoxelHashMap
+    edge: vg.DenseVoxelGrid
+    surface: vg.DenseVoxelGrid
 
 
 def build_feature_maps(edge_xyz, edge_mask, surface_xyz, surface_mask,
-                       cfg: PipelineConfig, origin=None) -> FeatureMaps:
-    """Hash the pre-built feature map clouds into device tables.
+                       cfg: PipelineConfig) -> FeatureMaps:
+    """Hash the pre-built feature map clouds into device voxel grids.
 
     Replaces the KD-tree construction at localizer startup
     (``localization/app/localization.cpp:79-83`` loads maps/edge.pcd +
-    maps/surface.pcd)."""
+    maps/surface.pcd). Grid bounds are computed host-side from the map
+    AABB (dims are static -> one compile per map load).
+    """
     em = cfg.registration.edge_map
     sm = cfg.registration.surface_map
+
+    def bounds(xyz, mask):
+        pts = np.asarray(xyz)[np.asarray(mask)]
+        if len(pts) == 0:
+            return np.zeros(3, np.float32), np.ones(3, np.float32)
+        return pts.min(axis=0), pts.max(axis=0)
+
+    e_lo, e_hi = bounds(edge_xyz, edge_mask)
+    s_lo, s_hi = bounds(surface_xyz, surface_mask)
+    e_origin, e_dims = vg.grid_for_bounds(e_lo, e_hi, em.voxel_size)
+    s_origin, s_dims = vg.grid_for_bounds(s_lo, s_hi, sm.voxel_size)
+
     return FeatureMaps(
-        edge=build_voxel_map(edge_xyz, edge_mask, em.voxel_size,
-                             em.table_capacity, em.points_per_voxel,
-                             em.max_probes, origin=origin),
-        surface=build_voxel_map(surface_xyz, surface_mask, sm.voxel_size,
-                                sm.table_capacity, sm.points_per_voxel,
-                                sm.max_probes, origin=origin),
+        edge=vg.build_voxel_grid(edge_xyz, edge_mask, em.voxel_size,
+                                 e_origin, e_dims, em.points_per_voxel),
+        surface=vg.build_voxel_grid(surface_xyz, surface_mask,
+                                    sm.voxel_size, s_origin, s_dims,
+                                    sm.points_per_voxel),
     )
 
 
@@ -57,9 +79,7 @@ def register_scan(maps: FeatureMaps, edge_pts, edge_valid, surf_pts,
                   surf_valid, prior: Pose, cfg: PipelineConfig) -> gn.GNResult:
     """Gauss-Newton registration of extracted features against the maps.
 
-    Equivalent of ``Optimizer::Run`` over ``LOAMOptimizationProblem``:
-    each iteration re-searches correspondences at the current pose and
-    concatenates edge (3-row) and surface (1-row) residual blocks.
+    Equivalent of ``Optimizer::Run`` over ``LOAMOptimizationProblem``.
     The surface scan is voxel-downsampled once (pose-independent; the
     reference recomputes it per iteration inside ``Surface::Make``,
     surface.hpp:106-111 — same result).
@@ -69,19 +89,33 @@ def register_scan(maps: FeatureMaps, edge_pts, edge_valid, surf_pts,
         surf_pts, surf_valid, reg.surface_downsample_leaf,
         reg.max_surface_points)
 
-    def problem_fn(pose: Pose) -> gn.Problem:
-        eb = edge_residuals(maps.edge, edge_pts, edge_valid, pose,
-                            reg.n_neighbors)
-        sb = surface_residuals(maps.surface, surf_ds, surf_ds_valid, pose,
-                               reg.n_neighbors)
-        return gn.make_problem([eb, sb])
+    rounds = max(reg.n_search_rounds, 1)
+    iters = -(-reg.max_iterations // rounds)  # ceil split
 
-    return gn.run_gauss_newton(
-        problem_fn, prior,
-        max_iterations=reg.max_iterations,
-        convergence_tol=reg.convergence_tol,
-        huber_k=reg.huber_k,
-        degeneracy_threshold=reg.degeneracy_threshold)
+    pose = prior
+    result = None
+    for _ in range(rounds):
+        cand_e, ok_e = vg.neighborhood_candidates(
+            maps.edge, pose.apply(edge_pts))
+        cand_s, ok_s = vg.neighborhood_candidates(
+            maps.surface, pose.apply(surf_ds))
+
+        def problem_fn(p: Pose, cand_e=cand_e, ok_e=ok_e,
+                       cand_s=cand_s, ok_s=ok_s) -> gn.Problem:
+            eb = edge_residuals_from_candidates(
+                cand_e, ok_e, edge_pts, edge_valid, p, reg.n_neighbors)
+            sb = surface_residuals_from_candidates(
+                cand_s, ok_s, surf_ds, surf_ds_valid, p, reg.n_neighbors)
+            return gn.make_problem([eb, sb])
+
+        result = gn.run_gauss_newton(
+            problem_fn, pose,
+            max_iterations=iters,
+            convergence_tol=reg.convergence_tol,
+            huber_k=reg.huber_k,
+            degeneracy_threshold=reg.degeneracy_threshold)
+        pose = result.pose
+    return result
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -26,7 +26,7 @@ from lidar_feature_extraction_tpu.ops import gauss_newton as gn
 from lidar_feature_extraction_tpu.ops.downsample import voxel_downsample
 from lidar_feature_extraction_tpu.ops.residuals import (edge_residuals,
                                                         surface_residuals)
-from lidar_feature_extraction_tpu.ops.voxel_map import build_voxel_map
+from lidar_feature_extraction_tpu.ops import voxel_grid as vg
 
 
 class OdometryState(NamedTuple):
@@ -73,13 +73,20 @@ def odometry_step(state: OdometryState, edge_pts, edge_valid, surf_pts,
     merged_surfs = state.surf_window.reshape(-1, 3)
     merged_surf_mask = state.surf_mask.reshape(-1)
 
+    # Dense grids re-centered on the current pose every step (dims are
+    # static; the origin is a traced array, so no recompilation). The
+    # reference likewise rebuilds its KD-trees of the merged recent
+    # scans every update (recent_scans.hpp:74).
     em, sm = reg.edge_map, reg.surface_map
-    edge_map = build_voxel_map(merged_edges, merged_edge_mask, em.voxel_size,
-                               em.table_capacity, em.points_per_voxel,
-                               em.max_probes)
-    surf_map = build_voxel_map(merged_surfs, merged_surf_mask, sm.voxel_size,
-                               sm.table_capacity, sm.points_per_voxel,
-                               sm.max_probes)
+    dims = reg.odometry_grid_dims
+    half_e = jnp.asarray(dims, state.pose_t.dtype) * em.voxel_size / 2.0
+    half_s = jnp.asarray(dims, state.pose_t.dtype) * sm.voxel_size / 2.0
+    edge_map = vg.build_voxel_grid(
+        merged_edges, merged_edge_mask, em.voxel_size,
+        state.pose_t - half_e, dims, em.points_per_voxel)
+    surf_map = vg.build_voxel_grid(
+        merged_surfs, merged_surf_mask, sm.voxel_size,
+        state.pose_t - half_s, dims, sm.points_per_voxel)
 
     surf_ds, surf_ds_valid = voxel_downsample(
         surf_pts, surf_valid, reg.surface_downsample_leaf,
