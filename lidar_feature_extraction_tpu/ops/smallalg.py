@@ -17,6 +17,7 @@ data-dependent control flow.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -120,8 +121,13 @@ def jacobi_eigvalsh(a: jnp.ndarray, sweeps: int = 8) -> jnp.ndarray:
         a = a.at[:, p].set(cp).at[:, q].set(cq)
         return a
 
-    for _ in range(sweeps):
+    def sweep(_, a):
         for p in range(n):
             for q in range(p + 1, n):
                 a = rotate(a, p, q)
+        return a
+
+    # fori_loop keeps the HLO a single sweep (the unrolled 8-sweep chain
+    # measurably bloats compile time of the surrounding GN loop).
+    a = jax.lax.fori_loop(0, sweeps, sweep, a)
     return jnp.diagonal(a)
