@@ -94,7 +94,7 @@ def main():
     from lidar_feature_extraction_tpu.config import kitti_hdl64
     from lidar_feature_extraction_tpu.core.pose import Pose
     from lidar_feature_extraction_tpu.pipeline.localization import (
-        localize_scan)
+        HostLocalizer)
 
     cfg = kitti_hdl64()
     rng = np.random.default_rng(0)
@@ -102,19 +102,26 @@ def main():
     prior = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
                  t=jnp.asarray([0.3, -0.2, 0.05], jnp.float32))
 
-    step = jax.jit(lambda m, im, p: localize_scan(m, im, p, cfg))
+    # Host-stepped pipeline: small jitted programs (the fused while_loop
+    # program takes the remote TPU compiler minutes; its pieces take
+    # seconds — see pipeline/localization.py HostLocalizer docstring).
+    localizer = HostLocalizer(maps, cfg)
 
     # Warmup / compile.
-    out = step(maps, image, prior)
-    jax.block_until_ready(out)
+    out = localizer.localize(image, prior)
+    jax.block_until_ready(out[0].pose.t)
 
     n_iters = int(os.environ.get("BENCH_ITERS", "30"))
     t0 = time.perf_counter()
+    gn_iters = 0
     for _ in range(n_iters):
-        out = step(maps, image, prior)
-    jax.block_until_ready(out)
+        out = localizer.localize(image, prior)
+        gn_iters += int(out[0].iterations)
+    jax.block_until_ready(out[0].pose.t)
     dt = time.perf_counter() - t0
     scans_per_sec = n_iters / dt
+    print(f"note: {gn_iters / n_iters:.1f} GN iterations/scan, "
+          f"{1000 * dt / n_iters:.2f} ms/scan", file=sys.stderr)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "baseline_measured.json")

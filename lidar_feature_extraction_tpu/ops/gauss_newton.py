@@ -186,3 +186,86 @@ def run_gauss_newton(
     status = jnp.where(status < 0, MAX_ITERATIONS, status)
     return GNResult(pose=Pose(q, t), status=status, iterations=it,
                     error=error, scale=scale)
+
+
+class GNStep(NamedTuple):
+    """Device outputs of one host-driven GN iteration."""
+
+    pose: Pose
+    error: jnp.ndarray     # sum of squared residual norms (this problem)
+    scale: jnp.ndarray     # MAD scale
+    n_valid: jnp.ndarray   # valid correspondence count
+    dq_norm: jnp.ndarray   # |dq.vec| of the applied update
+    dt_norm: jnp.ndarray   # |dt|
+
+
+def gn_iteration(problem: Problem, pose: Pose,
+                 huber_k: float = 1.345,
+                 degeneracy_threshold: float = 0.1) -> GNStep:
+    """One Gauss-Newton iteration as a standalone jittable step.
+
+    The on-TPU serving path drives the reference's loop logic
+    (optimizer.hpp:83-121) from the host with this step per iteration:
+    the remote TPU compiler handles the single-iteration program in
+    seconds where the fused ``lax.while_loop`` version takes minutes,
+    and host-side convergence checks give early exit for free.
+    """
+    n_valid = jnp.sum(problem.valid.astype(jnp.int32))
+    errors = jnp.where(problem.valid, problem.errors, 0.0)
+    error = jnp.sum(errors)
+    scale = stats.masked_scale(problem.errors, problem.valid)
+    normalized = errors / (scale + 1e-16)
+    weights = stats.huber_derivative(normalized, huber_k)
+    dx = weighted_update(pose.q, weights, problem, degeneracy_threshold)
+    dq = quat.exp_so3(dx[:3])
+    q_new = quat.quat_normalize(quat.quat_multiply(pose.q, dq))
+    return GNStep(pose=Pose(q_new, pose.t + dx[3:]),
+                  error=error, scale=scale, n_valid=n_valid,
+                  dq_norm=jnp.linalg.norm(dq[1:]),
+                  dt_norm=jnp.linalg.norm(dx[3:]))
+
+
+def run_gauss_newton_host(step_fn, initial_pose: Pose,
+                          max_iterations: int,
+                          convergence_tol: float = 1e-3) -> GNResult:
+    """Host-driven GN: ``step_fn(pose) -> GNStep`` is a (jitted) device
+    step; abort/convergence logic runs in Python with the same semantics
+    as ``Optimizer::Run`` (empty-input / error-increase / scale-increase
+    aborts keep the pre-update pose; convergence keeps the update)."""
+    pose = initial_pose
+    prev_error = float("inf")
+    prev_scale = float("inf")
+    error = scale = 0.0
+    it = 0
+    for it in range(1, max_iterations + 1):
+        out = step_fn(pose)
+        n_valid = int(out.n_valid)
+        error = float(out.error)
+        scale = float(out.scale)
+        if n_valid == 0:
+            return GNResult(pose=pose, status=jnp.asarray(EMPTY_INPUT),
+                            iterations=jnp.asarray(it),
+                            error=jnp.asarray(error),
+                            scale=jnp.asarray(scale))
+        if error > prev_error:
+            return GNResult(pose=pose, status=jnp.asarray(ERROR_INCREASED),
+                            iterations=jnp.asarray(it),
+                            error=jnp.asarray(error),
+                            scale=jnp.asarray(scale))
+        prev_error = error
+        if scale > prev_scale:
+            return GNResult(pose=pose, status=jnp.asarray(SCALE_INCREASED),
+                            iterations=jnp.asarray(it),
+                            error=jnp.asarray(error),
+                            scale=jnp.asarray(scale))
+        prev_scale = scale
+        pose = out.pose
+        if (float(out.dq_norm) < convergence_tol
+                and float(out.dt_norm) < convergence_tol):
+            return GNResult(pose=pose, status=jnp.asarray(CONVERGED),
+                            iterations=jnp.asarray(it),
+                            error=jnp.asarray(error),
+                            scale=jnp.asarray(scale))
+    return GNResult(pose=pose, status=jnp.asarray(MAX_ITERATIONS),
+                    iterations=jnp.asarray(it),
+                    error=jnp.asarray(error), scale=jnp.asarray(scale))

@@ -126,9 +126,90 @@ def localize_scan(maps: FeatureMaps, image: RangeImage, prior: Pose,
     Returns (GNResult, ExtractionResult) — the pose and the features
     (the reference's node publishes both, subscriber.hpp:128-176 +
     feature_extraction.cpp:168-170).
+
+    Single fused program: right for CPU, vmap batching and multi-chip
+    sharding. For single-scan TPU serving prefer ``HostLocalizer`` —
+    the remote TPU compiler takes minutes for the fused while_loop but
+    seconds for its pieces, and host stepping adds only ~0.2 ms/iter.
     """
     feats = extract_features(image, cfg.extraction)
     result = register_scan(maps, feats.edge_xyz, feats.edge_valid,
                            feats.surface_xyz, feats.surface_valid,
                            prior, cfg)
     return result, feats
+
+
+class HostLocalizer:
+    """Host-stepped scan-to-map localizer for single-chip serving.
+
+    Identical math to ``localize_scan``, decomposed into small jitted
+    programs (extraction / surface downsample / candidate gather / one
+    GN iteration) with the reference's loop control
+    (``Optimizer::Run`` aborts + convergence, optimizer.hpp:83-121)
+    running in Python. Early exit on convergence is free here, unlike
+    the fixed-shape while_loop.
+    """
+
+    def __init__(self, maps: FeatureMaps, cfg: PipelineConfig):
+        self.maps = maps
+        self.cfg = cfg
+        reg = cfg.registration
+
+        self._extract = jax.jit(
+            lambda image: extract_features(image, cfg.extraction))
+        self._downsample = jax.jit(
+            lambda pts, valid: voxel_downsample(
+                pts, valid, reg.surface_downsample_leaf,
+                reg.max_surface_points))
+
+        def gather(maps, e_pts, s_pts, pose):
+            pe = pose.apply(e_pts)
+            ps = pose.apply(s_pts)
+            ce, oe = vg.neighborhood_candidates(maps.edge, pe)
+            cs, os_ = vg.neighborhood_candidates(maps.surface, ps)
+            return ce, oe, cs, os_
+
+        self._gather = jax.jit(gather)
+
+        def step(cand_e, ok_e, cand_s, ok_s, e_pts, e_valid, s_pts,
+                 s_valid, pose):
+            eb = edge_residuals_from_candidates(
+                cand_e, ok_e, e_pts, e_valid, pose, reg.n_neighbors)
+            sb = surface_residuals_from_candidates(
+                cand_s, ok_s, s_pts, s_valid, pose, reg.n_neighbors)
+            problem = gn.make_problem([eb, sb])
+            return gn.gn_iteration(problem, pose, reg.huber_k,
+                                   reg.degeneracy_threshold)
+
+        self._step = jax.jit(step)
+
+    def register(self, edge_pts, edge_valid, surf_pts, surf_valid,
+                 prior: Pose) -> gn.GNResult:
+        reg = self.cfg.registration
+        surf_ds, surf_ds_valid = self._downsample(surf_pts, surf_valid)
+        rounds = max(reg.n_search_rounds, 1)
+        iters = -(-reg.max_iterations // rounds)
+
+        pose = prior
+        result = None
+        for _ in range(rounds):
+            ce, oe, cs, os_ = self._gather(self.maps, edge_pts, surf_ds,
+                                           pose)
+
+            def step_fn(p, ce=ce, oe=oe, cs=cs, os_=os_):
+                return self._step(ce, oe, cs, os_, edge_pts, edge_valid,
+                                  surf_ds, surf_ds_valid, p)
+
+            result = gn.run_gauss_newton_host(
+                step_fn, pose, iters, reg.convergence_tol)
+            pose = result.pose
+            if int(result.status) in (gn.CONVERGED, gn.EMPTY_INPUT):
+                break
+        return result
+
+    def localize(self, image: RangeImage, prior: Pose):
+        feats = self._extract(image)
+        result = self.register(feats.edge_xyz, feats.edge_valid,
+                               feats.surface_xyz, feats.surface_valid,
+                               prior)
+        return result, feats
