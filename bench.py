@@ -94,7 +94,7 @@ def main():
     from lidar_feature_extraction_tpu.config import kitti_hdl64
     from lidar_feature_extraction_tpu.core.pose import Pose
     from lidar_feature_extraction_tpu.pipeline.localization import (
-        HostLocalizer)
+        localize_scan)
 
     cfg = kitti_hdl64()
     rng = np.random.default_rng(0)
@@ -102,25 +102,32 @@ def main():
     prior = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
                  t=jnp.asarray([0.3, -0.2, 0.05], jnp.float32))
 
-    # Host-stepped pipeline: small jitted programs (the fused while_loop
-    # program takes the remote TPU compiler minutes; its pieces take
-    # seconds — see pipeline/localization.py HostLocalizer docstring).
-    localizer = HostLocalizer(maps, cfg)
+    # Device-resident benchmark: N scans in ONE dispatch (fori_loop over
+    # the fused localize_scan), one readback at the end. This tunnel's
+    # device->host readbacks can stall for seconds, and a production TPU
+    # pipeline streams scans without per-scan host sync anyway.
+    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
+
+    def bench_loop(maps, image, prior):
+        def body(i, carry):
+            total_iters, _ = carry
+            result, _feats = localize_scan(maps, image, prior, cfg)
+            return total_iters + result.iterations, result.pose.t
+        return jax.lax.fori_loop(
+            0, n_iters, body, (jnp.asarray(0, jnp.int32), prior.t))
+
+    step = jax.jit(bench_loop)
 
     # Warmup / compile.
-    out = localizer.localize(image, prior)
-    jax.block_until_ready(out[0].pose.t)
+    out = step(maps, image, prior)
+    jax.block_until_ready(out)
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
     t0 = time.perf_counter()
-    gn_iters = 0
-    for _ in range(n_iters):
-        out = localizer.localize(image, prior)
-        gn_iters += int(out[0].iterations)
-    jax.block_until_ready(out[0].pose.t)
+    out = step(maps, image, prior)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     scans_per_sec = n_iters / dt
-    print(f"note: {gn_iters / n_iters:.1f} GN iterations/scan, "
+    print(f"note: {float(out[0]) / n_iters:.1f} GN iterations/scan, "
           f"{1000 * dt / n_iters:.2f} ms/scan", file=sys.stderr)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

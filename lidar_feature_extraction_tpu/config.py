@@ -50,12 +50,13 @@ class ExtractionConfig:
     # padding+1 valid points are dropped (RemoveSparseRings, ring.cpp:46).
     n_rings: int = 64
     max_points_per_ring: int = 2048
-    # Bounded depth of the parallel NMS that replaces the reference's
-    # sequential argsort+suppress labeling (label.hpp:61-139). Each block
-    # selects at most this many edges and this many surfaces. With
-    # padding=5 a selection suppresses up to 11 points, so 64 covers
-    # blocks up to ~700 points without truncation in the gap-free case.
-    max_selections_per_block: int = 64
+    # Round bound of the multi-select parallel NMS that replaces the
+    # reference's sequential argsort+suppress labeling (label.hpp:
+    # 61-139). Every round selects ALL locally-best candidates at once;
+    # typical scans resolve in a handful of rounds, and a cap of at
+    # least the largest block size guarantees exact sequential
+    # equivalence even for adversarial monotone chains.
+    nms_rounds: int = 64
     # Fixed capacities for the compacted feature outputs.
     max_edges: int = 4096
     max_surfaces: int = 8192
@@ -173,11 +174,11 @@ def kitti_hdl64() -> PipelineConfig:
             n_rings=64, max_points_per_ring=2304,
             padding=2, neighbor_degree_threshold=3.0,
             edge_threshold=50.0, max_range=1000.0,
-            # padding=2 suppresses only +/-2 per pick, so flat scenes
-            # select up to ~block_size/3 surfaces per block; raw surface
-            # output on open roads exceeds 30k points before the 1 m
-            # registration downsample.
-            max_selections_per_block=128,
+            # Multi-select NMS resolves typical scans in < 10 rounds;
+            # 48 covers deep suppression chains. Raw surface output on
+            # open roads exceeds 30k points before the 1 m registration
+            # downsample (padding=2 suppresses only +/-2 per pick).
+            nms_rounds=48,
             max_edges=4096, max_surfaces=32768))
 
 

@@ -127,43 +127,74 @@ def block_ids(count: jnp.ndarray, n_points: int, padding: int,
 
 def _nms_pass(labels, curvature, blk, g, count, *, padding, n_blocks,
               threshold, pick_max, point_code, neighbor_code, n_iter):
-    """Segmented NMS labeling: every (ring, block) selects its extreme-
-    curvature Default candidate each round and suppresses its connected
-    +/-padding window. Equivalent to the sequential descending/ascending
-    label loops of label.hpp:61-139 (see module docstring)."""
-    R, P = curvature.shape
+    """Multi-select parallel NMS labeling, exactly equivalent to the
+    sequential descending/ascending label loops of label.hpp:61-139.
+
+    Per round, EVERY candidate that has no better candidate within its
+    connected +/-padding window (same block) is selected simultaneously,
+    then all selected windows are suppressed. Equivalence argument: only
+    a better candidate within +/-padding can ever suppress a point in
+    the sequential order, so a locally-best candidate is guaranteed to
+    be selected by the sequential algorithm too; conversely a point with
+    a better candidate in its window merely waits — if its suppressor is
+    itself suppressed first, the point becomes locally-best in a later
+    round (after the suppressor's lanes leave candidacy) exactly when
+    the sequential scan would reach it still unlabeled. Ties follow the
+    sequential processing order of a stable sort (edges: higher index
+    first — the descending pass reverses a stable ascending order;
+    surfaces: lower index first). Two mutually-windowed points can never
+    both be selected in one round (one must be better under the total
+    order).
+
+    Rounds needed: typically a handful; worst case (a monotone chain
+    spaced <= padding apart) resolves ~1 selection per round like the
+    old argmax version — ``n_iter`` caps it.
+    """
+    P = curvature.shape[-1]
     lane = jnp.arange(P)[None, :]
     neg_inf = jnp.asarray(-jnp.inf, curvature.dtype)
 
     score = curvature if pick_max else -curvature
     thr_ok = (curvature >= threshold) if pick_max else (curvature <= threshold)
+    base_cand = (blk >= 0) & thr_ok
 
     def body(_, labels):
-        cand = (labels == DEFAULT) & (blk >= 0) & thr_ok
+        cand = base_cand & (labels == DEFAULT)
         s = jnp.where(cand, score, neg_inf)                     # [R, P]
-        # Segmented argmax over the n_blocks segments of each ring.
-        seg = jnp.where(blk[:, None, :] == jnp.arange(n_blocks)[None, :, None],
-                        s[:, None, :], neg_inf)                 # [R, B, P]
-        sel = jnp.argmax(seg, axis=-1)                          # [R, B]
-        sel_ok = jnp.take_along_axis(seg, sel[..., None],
-                                     axis=-1)[..., 0] > neg_inf  # [R, B]
-        sel_g = jnp.take_along_axis(g, sel, axis=-1)            # [R, B]
-        sel_blk = jnp.take_along_axis(blk, sel, axis=-1)        # [R, B]
-        #
 
-        # Window: same block, within +/-padding, connected (equal gap
-        # prefix). FillNeighbors clamps to block bounds (fill.hpp:102-118)
-        # — enforced by the same-block test.
-        d = lane[:, None, :] - sel[..., None]                   # [R, B, P]
-        win = (jnp.abs(d) <= padding) \
-            & (g[:, None, :] == sel_g[..., None]) \
-            & (blk[:, None, :] == sel_blk[..., None]) \
-            & sel_ok[..., None]
-        is_sel = (d == 0) & sel_ok[..., None]
-        win_any = jnp.any(win, axis=1)
-        sel_any = jnp.any(is_sel, axis=1)
-        labels = jnp.where(win_any, neighbor_code, labels)
-        labels = jnp.where(sel_any, point_code, labels)
+        # Safety: no better candidate within the connected +/-padding
+        # window of the same block.
+        blocked = jnp.zeros_like(cand)
+        for d in range(1, padding + 1):
+            for sgn in (-1, 1):
+                dd = sgn * d
+                s_n = jnp.roll(s, -dd, axis=-1)
+                g_n = jnp.roll(g, -dd, axis=-1)
+                blk_n = jnp.roll(blk, -dd, axis=-1)
+                inb = ((lane + dd >= 0) & (lane + dd < P)
+                       & (g_n == g) & (blk_n == blk))
+                if pick_max:
+                    tie_win = dd > 0    # higher index first on ties
+                else:
+                    tie_win = dd < 0    # lower index first on ties
+                better = (s_n > s) | ((s_n == s) & tie_win)
+                blocked = blocked | (inb & better & (s_n > neg_inf))
+        selected = cand & ~blocked
+
+        # Suppress the connected +/-padding windows of all selections.
+        win = selected
+        for d in range(1, padding + 1):
+            for sgn in (-1, 1):
+                dd = sgn * d
+                sel_n = jnp.roll(selected, -dd, axis=-1)
+                g_n = jnp.roll(g, -dd, axis=-1)
+                blk_n = jnp.roll(blk, -dd, axis=-1)
+                inb = ((lane + dd >= 0) & (lane + dd < P)
+                       & (g_n == g) & (blk_n == blk))
+                win = win | (sel_n & inb)
+
+        labels = jnp.where(win, neighbor_code, labels)
+        labels = jnp.where(selected, point_code, labels)
         return labels
 
     return jax.lax.fori_loop(0, n_iter, body, labels)
@@ -232,13 +263,13 @@ def label_range_image(image: RangeImage,
         padding=cfg.padding, n_blocks=cfg.n_blocks,
         threshold=cfg.edge_threshold, pick_max=True,
         point_code=EDGE, neighbor_code=EDGE_NEIGHBOR,
-        n_iter=cfg.max_selections_per_block)
+        n_iter=cfg.nms_rounds)
     labels = _nms_pass(
         labels, curv, blk, g, count,
         padding=cfg.padding, n_blocks=cfg.n_blocks,
         threshold=cfg.surface_threshold, pick_max=False,
         point_code=SURFACE, neighbor_code=SURFACE_NEIGHBOR,
-        n_iter=cfg.max_selections_per_block)
+        n_iter=cfg.nms_rounds)
 
     # Masking passes overwrite labels in the reference's order
     # (feature_extraction.cpp:137-142).

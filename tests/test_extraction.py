@@ -46,7 +46,7 @@ def ring_to_image(xyz_ring, max_pts, n_rings=1, row=0):
 # equivalent to the sequential oracle: blocks of a 512-point ring have
 # at most ceil((512-2*5)/6)+1 = 85 points.
 CFG = ExtractionConfig(n_rings=1, max_points_per_ring=512,
-                       max_selections_per_block=96)
+                       nms_rounds=96)
 
 
 def test_curvature_matches_oracle():
@@ -112,7 +112,7 @@ def test_full_labeling_parity(seed):
 def test_multi_ring_batching_matches_single():
     rng = np.random.default_rng(99)
     cfg = ExtractionConfig(n_rings=4, max_points_per_ring=512,
-                           max_selections_per_block=96)
+                           nms_rounds=96)
     rings = [make_synthetic_ring(rng, int(rng.integers(30, 400)))
              for _ in range(4)]
     xyz = np.zeros((4, 512, 3))
@@ -176,3 +176,90 @@ def test_build_range_image_multi_ring_and_sparse_drop():
     assert int(img.count[1]) == 0
     assert not np.asarray(img.mask)[1].any()
     np.testing.assert_allclose(np.asarray(img.xyz)[0, :100], r0, atol=1e-12)
+
+
+def _nms_oracle(curvature, nb, n, cfg):
+    """Sequential labeling only (no masking passes) on explicit
+    curvature/neighbor arrays."""
+    labels = np.full(n, np_ref.DEFAULT)
+    np_ref.assign_labels(labels, curvature.astype(float), nb, n,
+                         cfg.padding, cfg.n_blocks, cfg.edge_threshold,
+                         cfg.surface_threshold)
+    return labels
+
+
+def _nms_device(curvature, nb, n, cfg, max_pts=128):
+    curv = jnp.zeros((1, max_pts)).at[0, :n].set(curvature)
+    nbj = jnp.zeros((1, max_pts), bool).at[0, :n - 1].set(nb)
+    g = ex.gap_prefix(nbj)
+    blk = ex.block_ids(jnp.asarray([n]), max_pts, cfg.padding,
+                       cfg.n_blocks)
+    labels = jnp.full((1, max_pts), ex.DEFAULT, jnp.int32)
+    labels = ex._nms_pass(labels, curv, blk, g, jnp.asarray([n]),
+                          padding=cfg.padding, n_blocks=cfg.n_blocks,
+                          threshold=cfg.edge_threshold, pick_max=True,
+                          point_code=ex.EDGE,
+                          neighbor_code=ex.EDGE_NEIGHBOR,
+                          n_iter=cfg.nms_rounds)
+    labels = ex._nms_pass(labels, curv, blk, g, jnp.asarray([n]),
+                          padding=cfg.padding, n_blocks=cfg.n_blocks,
+                          threshold=cfg.surface_threshold, pick_max=False,
+                          point_code=ex.SURFACE,
+                          neighbor_code=ex.SURFACE_NEIGHBOR,
+                          n_iter=cfg.nms_rounds)
+    return np.asarray(labels)[0, :n]
+
+
+def test_nms_exact_ties_match_stable_sequential_order():
+    """All-equal curvature: selection must follow the stable sequential
+    order (higher index first for edges, lower first for surfaces)."""
+    n = 100
+    cfg = ExtractionConfig(nms_rounds=128, n_blocks=2, padding=3,
+                           edge_threshold=1e9, surface_threshold=1e12)
+    curvature = np.zeros(n)          # exact ties everywhere
+    nb = np.ones(n - 1, bool)
+    want = _nms_oracle(curvature, nb, n, cfg)
+    got = _nms_device(curvature, nb, n, cfg)
+    np.testing.assert_array_equal(got, want)
+
+    # Edge pass with ties: everything above threshold 0 (ties at 1.0).
+    cfg2 = ExtractionConfig(nms_rounds=128, n_blocks=2, padding=3,
+                            edge_threshold=1.0, surface_threshold=-1.0)
+    curvature2 = np.ones(n)
+    want2 = _nms_oracle(curvature2, nb, n, cfg2)
+    got2 = _nms_device(curvature2, nb, n, cfg2)
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_nms_adversarial_monotone_chain():
+    """Monotonically decreasing curvature spaced closer than the
+    suppression window forces one resolution per round (worst case for
+    multi-select NMS)."""
+    n = 100
+    cfg = ExtractionConfig(nms_rounds=128, n_blocks=1, padding=4,
+                           edge_threshold=1.0, surface_threshold=-1.0)
+    curvature = np.arange(n, 0, -1).astype(float)  # strictly decreasing
+    nb = np.ones(n - 1, bool)
+    want = _nms_oracle(curvature, nb, n, cfg)
+    got = _nms_device(curvature, nb, n, cfg)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_nms_random_integer_curvatures_with_duplicates(seed):
+    """Randomized NMS parity on integer curvature (exactly
+    representable in both precisions) with many duplicates and random
+    connectivity gaps."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 120))
+    cfg = ExtractionConfig(nms_rounds=128,
+                           n_blocks=int(rng.integers(1, 4)),
+                           padding=int(rng.integers(1, 5)),
+                           edge_threshold=6.0, surface_threshold=3.0)
+    if n - 2 * cfg.padding < cfg.n_blocks:
+        return
+    curvature = rng.integers(0, 10, size=n).astype(float)
+    nb = rng.random(n - 1) < 0.8
+    want = _nms_oracle(curvature, nb, n, cfg)
+    got = _nms_device(curvature, nb, n, cfg)
+    np.testing.assert_array_equal(got, want)

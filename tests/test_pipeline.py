@@ -26,7 +26,7 @@ def small_cfg():
                         points_per_voxel=16, max_probes=8)
     return PipelineConfig(
         extraction=ExtractionConfig(n_rings=8, max_points_per_ring=256,
-                                    max_selections_per_block=32,
+                                    nms_rounds=32,
                                     max_edges=256, max_surfaces=512),
         registration=RegistrationConfig(n_neighbors=8, max_iterations=30,
                                         edge_map=vm, surface_map=vm),

@@ -23,7 +23,7 @@ def small_cfg():
                         points_per_voxel=16, max_probes=8)
     return PipelineConfig(
         extraction=ExtractionConfig(n_rings=16, max_points_per_ring=512,
-                                    max_selections_per_block=32,
+                                    nms_rounds=32,
                                     max_edges=512, max_surfaces=2048),
         registration=RegistrationConfig(n_neighbors=8, max_iterations=20,
                                         edge_map=vm, surface_map=vm))
