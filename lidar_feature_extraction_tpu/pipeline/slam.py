@@ -1,0 +1,219 @@
+"""Full mapping pipeline: odometry front-end, keyframe store, radius
+loop closure, pose-graph back-end, map assembly.
+
+The reference stops at open-loop mapping (transform scans by
+externally-supplied poses and concatenate, ``mapping/include/
+lidar_feature_mapping/map.hpp:98-134``) — no loop closure, no global
+optimization. The TPU build treats globally-consistent mapping as a
+first-class workload (BASELINE.json configs 4-5): odometry poses seed a
+keyframe graph, re-registration against revisited keyframes adds loop
+constraints, and the distributed-capable pose-graph Gauss-Newton
+(parallel/pose_graph.py) reconciles the trajectory before the map is
+assembled.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidar_feature_extraction_tpu.config import PipelineConfig
+from lidar_feature_extraction_tpu.core import quaternion as quat
+from lidar_feature_extraction_tpu.core.pose import Pose, pose_delta_magnitudes
+from lidar_feature_extraction_tpu.ops import gauss_newton as gn
+from lidar_feature_extraction_tpu.ops import voxel_grid as vg
+from lidar_feature_extraction_tpu.ops.downsample import voxel_downsample
+from lidar_feature_extraction_tpu.ops.residuals import (
+    edge_residuals, surface_residuals)
+from lidar_feature_extraction_tpu.parallel.pose_graph import (
+    Constraints, PoseGraph, optimize_pose_graph)
+from lidar_feature_extraction_tpu.pipeline.odometry import Odometry
+
+
+class Keyframe(NamedTuple):
+    pose: Pose
+    edge_pts: jnp.ndarray    # sensor-frame features
+    edge_valid: jnp.ndarray
+    surf_pts: jnp.ndarray
+    surf_valid: jnp.ndarray
+    stamp: float
+
+
+def relative_pose(a: Pose, b: Pose) -> Pose:
+    return a.inverse().compose(b)
+
+
+class MappingPipeline:
+    """Feed per-scan features; get an optimized keyframe trajectory and
+    a globally-consistent feature map."""
+
+    def __init__(self, cfg: PipelineConfig,
+                 loop_radius: float = 5.0,
+                 loop_min_gap: int = 20,
+                 optimize_every: int = 10):
+        self.cfg = cfg
+        self.odometry = Odometry(cfg)
+        self.keyframes: list[Keyframe] = []
+        self.constraints: list[tuple[int, int, Pose, float]] = []
+        self.loop_radius = loop_radius
+        self.loop_min_gap = loop_min_gap
+        self.optimize_every = optimize_every
+        self._optimized: Optional[PoseGraph] = None
+        self._kf_since_opt = 0
+
+    # ---- front end -------------------------------------------------
+
+    def process_scan(self, edge_pts, edge_valid, surf_pts, surf_valid,
+                     stamp: float = 0.0) -> Pose:
+        """Odometry update + keyframe/loop bookkeeping. Returns the
+        current (odometry-frame) pose estimate."""
+        self.odometry.update(edge_pts, edge_valid, surf_pts, surf_valid)
+        pose = self.odometry.pose
+
+        if self._should_add_keyframe(pose):
+            kf = Keyframe(pose=pose, edge_pts=edge_pts,
+                          edge_valid=edge_valid, surf_pts=surf_pts,
+                          surf_valid=surf_valid, stamp=stamp)
+            self._add_keyframe(kf)
+        return pose
+
+    def _should_add_keyframe(self, pose: Pose) -> bool:
+        if not self.keyframes:
+            return True
+        m = self.cfg.mapping
+        dt, dq = pose_delta_magnitudes(self.keyframes[-1].pose, pose)
+        return bool((dt >= m.keyframe_translation_threshold)
+                    | (dq >= m.keyframe_rotation_threshold))
+
+    def _add_keyframe(self, kf: Keyframe) -> None:
+        idx = len(self.keyframes)
+        self.keyframes.append(kf)
+        if idx > 0:
+            rel = relative_pose(self.keyframes[idx - 1].pose, kf.pose)
+            self.constraints.append((idx - 1, idx, rel, 1.0))
+        closure = self._try_loop_closure(idx)
+        self._kf_since_opt += 1
+        if closure or self._kf_since_opt >= self.optimize_every:
+            self.optimize()
+            self._kf_since_opt = 0
+
+    # ---- loop closure ----------------------------------------------
+
+    def _try_loop_closure(self, idx: int) -> bool:
+        """Radius search over past keyframe positions; re-register the
+        new keyframe's features against the matched keyframe's local
+        map; accept on convergence."""
+        if idx < self.loop_min_gap:
+            return False
+        kf = self.keyframes[idx]
+        pos = np.asarray(kf.pose.t)
+        candidates = [
+            j for j in range(idx - self.loop_min_gap)
+            if np.linalg.norm(np.asarray(self.keyframes[j].pose.t) - pos)
+            < self.loop_radius
+        ]
+        if not candidates:
+            return False
+        j = min(candidates,
+                key=lambda j: np.linalg.norm(
+                    np.asarray(self.keyframes[j].pose.t) - pos))
+        rel = self._register_to_keyframe(kf, self.keyframes[j])
+        if rel is None:
+            return False
+        self.constraints.append((j, idx, rel, 1.0))
+        return True
+
+    def _register_to_keyframe(self, kf: Keyframe,
+                              target: Keyframe) -> Optional[Pose]:
+        """GN-register kf's features against target's features (both in
+        their sensor frames); returns the measured relative pose
+        target->kf or None on failure."""
+        reg = self.cfg.registration
+        em, sm = reg.edge_map, reg.surface_map
+        dims = reg.odometry_grid_dims
+
+        half_e = jnp.asarray(dims, jnp.float32) * em.voxel_size / 2.0
+        half_s = jnp.asarray(dims, jnp.float32) * sm.voxel_size / 2.0
+        edge_map = vg.build_voxel_grid(
+            target.edge_pts, target.edge_valid, em.voxel_size,
+            -half_e, dims, em.points_per_voxel)
+        surf_map = vg.build_voxel_grid(
+            target.surf_pts, target.surf_valid, sm.voxel_size,
+            -half_s, dims, sm.points_per_voxel)
+
+        surf_ds, surf_ds_valid = voxel_downsample(
+            kf.surf_pts, kf.surf_valid, reg.surface_downsample_leaf,
+            reg.max_surface_points)
+
+        prior = relative_pose(target.pose, kf.pose)
+
+        def problem_fn(p: Pose) -> gn.Problem:
+            eb = edge_residuals(edge_map, kf.edge_pts, kf.edge_valid, p,
+                                reg.n_neighbors)
+            sb = surface_residuals(surf_map, surf_ds, surf_ds_valid, p,
+                                   reg.n_neighbors)
+            return gn.make_problem([eb, sb])
+
+        result = gn.run_gauss_newton(
+            problem_fn, prior, max_iterations=reg.max_iterations,
+            convergence_tol=reg.convergence_tol, huber_k=reg.huber_k,
+            degeneracy_threshold=reg.degeneracy_threshold)
+        if int(result.status) not in (gn.CONVERGED, gn.MAX_ITERATIONS):
+            return None
+        return result.pose
+
+    # ---- back end --------------------------------------------------
+
+    def optimize(self, n_iterations: int = 10) -> None:
+        """Pose-graph Gauss-Newton over all keyframes (chain + loop
+        constraints). Single-device here; the sharded variant is
+        parallel/pose_graph.make_distributed_pose_graph_optimizer."""
+        k = len(self.keyframes)
+        if k < 2 or not self.constraints:
+            return
+        graph = PoseGraph(
+            poses_q=jnp.stack([kf.pose.q for kf in self.keyframes]),
+            poses_t=jnp.stack([kf.pose.t for kf in self.keyframes]))
+        i = jnp.asarray([c[0] for c in self.constraints], jnp.int32)
+        j = jnp.asarray([c[1] for c in self.constraints], jnp.int32)
+        zq = jnp.stack([c[2].q for c in self.constraints])
+        zt = jnp.stack([c[2].t for c in self.constraints])
+        w = jnp.asarray([c[3] for c in self.constraints], jnp.float32)
+        cons = Constraints(i=i, j=j, z_q=zq, z_t=zt, weight=w)
+        out = optimize_pose_graph(graph, cons, n_iterations=n_iterations)
+        self._optimized = out
+        # Write back optimized poses.
+        self.keyframes = [
+            kf._replace(pose=Pose(out.poses_q[n], out.poses_t[n]))
+            for n, kf in enumerate(self.keyframes)]
+
+    # ---- outputs ---------------------------------------------------
+
+    @property
+    def trajectory(self) -> np.ndarray:
+        return np.stack([np.asarray(kf.pose.t) for kf in self.keyframes]) \
+            if self.keyframes else np.zeros((0, 3))
+
+    def assemble_map(self):
+        """(edge_points, surf_points) in the map frame from optimized
+        keyframe poses (the analogue of Map::TransformAdd over the
+        whole run, now globally consistent)."""
+        edges, surfs = [], []
+        for kf in self.keyframes:
+            e = np.asarray(kf.pose.apply(kf.edge_pts))
+            edges.append(e[np.asarray(kf.edge_valid)])
+            s = np.asarray(kf.pose.apply(kf.surf_pts))
+            surfs.append(s[np.asarray(kf.surf_valid)])
+        if not edges:
+            return np.zeros((0, 3)), np.zeros((0, 3))
+        return np.concatenate(edges), np.concatenate(surfs)
+
+    def save_maps(self, edge_path: str, surf_path: str) -> None:
+        from lidar_feature_extraction_tpu.io import pcd
+
+        e, s = self.assemble_map()
+        pcd.save_pcd(edge_path, e)
+        pcd.save_pcd(surf_path, s)

@@ -1,0 +1,116 @@
+"""Full mapping pipeline test: a square drive with a loop closure must
+produce a consistent trajectory; plus prior queue and visualization
+export tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_feature_extraction_tpu.core import quaternion as quat
+from lidar_feature_extraction_tpu.core.pose import Pose
+from lidar_feature_extraction_tpu.pipeline.prior_queue import PriorPoseQueue
+from lidar_feature_extraction_tpu.pipeline.slam import MappingPipeline
+from test_pipeline import make_world, pad_to, sample_scan_features, small_cfg
+
+
+def test_prior_pose_queue():
+    q = PriorPoseQueue()
+    assert q.get_closest(1.0) is None
+    for s in [1.0, 3.0, 2.0, 5.0]:
+        q.insert(s, f"p{s}")
+    assert len(q) == 4
+    assert q.get_closest(2.9)[1] == "p3.0"
+    assert q.get_closest(0.0)[1] == "p1.0"
+    assert q.get_closest(99.0)[1] == "p5.0"
+    assert q.get_closest(1.5)[1] == "p1.0"  # tie goes to earlier
+    q.remove_older_than(2.5)
+    assert len(q) == 2
+    assert q.get_closest(0.0)[1] == "p3.0"
+    q.insert(3.0, "replaced")
+    assert q.get_closest(3.0)[1] == "replaced"
+    assert len(q) == 2
+
+
+def test_mapping_pipeline_square_drive():
+    rng = np.random.default_rng(0)
+    cfg = small_cfg()
+    world_edges, world_surfs = make_world(rng)
+
+    pipeline = MappingPipeline(cfg, loop_radius=3.0, loop_min_gap=3,
+                               optimize_every=100)
+
+    # Drive a small square with 1 m steps, returning near the start.
+    # Translation-only square (instant 90-degree yaw jumps at corners
+    # would leave the GN convergence basin; heading changes are not what
+    # this integration test exercises).
+    side = [(i, 0.0) for i in range(5)]
+    side += [(4.0, i) for i in range(1, 5)]
+    side += [(4.0 - i, 4.0) for i in range(1, 5)]
+    side += [(0.0, 4.0 - i) for i in range(1, 4)]
+    side += [(0.0, 0.3)]
+    waypoints = [(x, y, 0.0) for (x, y) in side]
+    gt = []
+    for x, y, yaw in waypoints:
+        pose = Pose(q=quat.exp_so3(jnp.asarray([0, 0, yaw], jnp.float32)),
+                    t=jnp.asarray([x, y, 0.0], jnp.float32))
+        gt.append([x, y, 0.0])
+        e, s = sample_scan_features(world_edges, world_surfs, pose, rng,
+                                    n_e=200, n_s=500)
+        e_pts, e_valid = pad_to(e, cfg.extraction.max_edges)
+        s_pts, s_valid = pad_to(s, cfg.extraction.max_surfaces)
+        pipeline.process_scan(e_pts, e_valid, s_pts, s_valid)
+
+    assert len(pipeline.keyframes) >= 5
+    # At least the odometry chain constraints exist.
+    assert len(pipeline.constraints) >= len(pipeline.keyframes) - 1
+    pipeline.optimize()
+    traj = pipeline.trajectory
+    gt = np.asarray(gt, float)
+    # Keyframe gating skips some waypoints; compare each keyframe to its
+    # nearest ground-truth waypoint.
+    for p in traj:
+        d = np.linalg.norm(gt - p, axis=-1).min()
+        assert d < 0.5, (p, d)
+
+    e_map, s_map = pipeline.assemble_map()
+    assert len(e_map) > 100 and len(s_map) > 100
+
+
+def test_mapping_pipeline_loop_closure_constraint_added():
+    """Force a revisit: the pipeline must add a loop constraint."""
+    rng = np.random.default_rng(1)
+    cfg = small_cfg()
+    world_edges, world_surfs = make_world(rng)
+    pipeline = MappingPipeline(cfg, loop_radius=2.5, loop_min_gap=2,
+                               optimize_every=100)
+
+    xs = [0, 2, 4, 6, 4, 2, 0.2]  # out and back along x
+    for x in xs:
+        pose = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                    t=jnp.asarray([x, 0.0, 0.0], jnp.float32))
+        e, s = sample_scan_features(world_edges, world_surfs, pose, rng,
+                                    n_e=200, n_s=500)
+        e_pts, e_valid = pad_to(e, cfg.extraction.max_edges)
+        s_pts, s_valid = pad_to(s, cfg.extraction.max_surfaces)
+        pipeline.process_scan(e_pts, e_valid, s_pts, s_valid)
+
+    n_kf = len(pipeline.keyframes)
+    n_chain = n_kf - 1
+    assert len(pipeline.constraints) > n_chain, (
+        "no loop constraint added", n_kf, len(pipeline.constraints))
+
+
+def test_ply_export(tmp_path):
+    from lidar_feature_extraction_tpu.utils.visualize import (
+        export_trajectory, save_ply)
+
+    pts = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+    p1 = str(tmp_path / "a.ply")
+    save_ply(p1, pts)
+    head = open(p1, "rb").read(200).decode("ascii", errors="replace")
+    assert "element vertex 50" in head
+    rgb = np.full((50, 3), 128, np.uint8)
+    p2 = str(tmp_path / "b.ply")
+    save_ply(p2, pts, rgb)
+    assert "property uchar red" in open(p2, "rb").read(300).decode(
+        "ascii", errors="replace")
+    export_trajectory(str(tmp_path / "t.ply"), pts)
