@@ -179,7 +179,9 @@ def kitti_hdl64() -> PipelineConfig:
             # open roads exceeds 30k points before the 1 m registration
             # downsample (padding=2 suppresses only +/-2 per pick).
             nms_rounds=48,
-            max_edges=4096, max_surfaces=32768))
+            # Edge counts at edge_threshold=50 are a few hundred to ~2k
+            # per scan; 2048 halves the candidate-gather cost vs 4096.
+            max_edges=2048, max_surfaces=32768))
 
 
 def vlp16() -> PipelineConfig:

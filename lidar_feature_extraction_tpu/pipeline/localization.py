@@ -91,30 +91,43 @@ def register_scan(maps: FeatureMaps, edge_pts, edge_valid, surf_pts,
 
     rounds = max(reg.n_search_rounds, 1)
     iters = -(-reg.max_iterations // rounds)  # ceil split
+    # Candidates stay valid while the pose moved less than ~half the
+    # smaller map voxel since they were gathered.
+    refresh_threshold = 0.5 * min(reg.edge_map.voxel_size,
+                                  reg.surface_map.voxel_size)
 
-    pose = prior
-    result = None
-    for _ in range(rounds):
+    def one_round(pose: Pose) -> gn.GNResult:
         cand_e, ok_e = vg.neighborhood_candidates(
             maps.edge, pose.apply(edge_pts))
         cand_s, ok_s = vg.neighborhood_candidates(
             maps.surface, pose.apply(surf_ds))
 
-        def problem_fn(p: Pose, cand_e=cand_e, ok_e=ok_e,
-                       cand_s=cand_s, ok_s=ok_s) -> gn.Problem:
+        def problem_fn(p: Pose) -> gn.Problem:
             eb = edge_residuals_from_candidates(
                 cand_e, ok_e, edge_pts, edge_valid, p, reg.n_neighbors)
             sb = surface_residuals_from_candidates(
                 cand_s, ok_s, surf_ds, surf_ds_valid, p, reg.n_neighbors)
             return gn.make_problem([eb, sb])
 
-        result = gn.run_gauss_newton(
+        return gn.run_gauss_newton(
             problem_fn, pose,
             max_iterations=iters,
             convergence_tol=reg.convergence_tol,
             huber_k=reg.huber_k,
             degeneracy_threshold=reg.degeneracy_threshold)
-        pose = result.pose
+
+    result = one_round(prior)
+    prev_pose = prior
+    for _ in range(rounds - 1):
+        # Later rounds re-gather only when the previous round actually
+        # moved the pose out of its candidate neighborhoods — with a
+        # good EKF prior the steady state runs a single gather per scan,
+        # and lax.cond skips the whole round's work on device.
+        moved = jnp.linalg.norm(result.pose.t - prev_pose.t) \
+            > refresh_threshold
+        prev_pose = result.pose
+        result = jax.lax.cond(moved, one_round, lambda p: result._replace(
+            pose=p), result.pose)
     return result
 
 
@@ -190,6 +203,8 @@ class HostLocalizer:
         rounds = max(reg.n_search_rounds, 1)
         iters = -(-reg.max_iterations // rounds)
 
+        refresh_threshold = 0.5 * min(reg.edge_map.voxel_size,
+                                      reg.surface_map.voxel_size)
         pose = prior
         result = None
         for _ in range(rounds):
@@ -202,9 +217,12 @@ class HostLocalizer:
 
             result = gn.run_gauss_newton_host(
                 step_fn, pose, iters, reg.convergence_tol)
+            moved = float(jnp.linalg.norm(result.pose.t - pose.t))
             pose = result.pose
             if int(result.status) in (gn.CONVERGED, gn.EMPTY_INPUT):
                 break
+            if moved <= refresh_threshold:
+                break  # candidates still valid; nothing new to gather
         return result
 
     def localize(self, image: RangeImage, prior: Pose):
