@@ -101,6 +101,14 @@ class RegistrationConfig:
     # the pose correction stays below a voxel size). n_search_rounds
     # splits max_iterations into that many gather+optimize rounds.
     n_search_rounds: int = 2
+    # Refit the line/plane geometry (neighbor top-k + PCA / plane fit)
+    # every inner GN iteration instead of once per search round. The
+    # fitted geometry depends only on the selected map neighbors, which
+    # can change inside a round only while the pose correction stays
+    # within the cached candidate neighborhood — refitting there buys
+    # sub-voxel neighbor churn at ~10x the per-iteration cost. Default
+    # off; ATE parity is the acceptance criterion (docs/design.md §3).
+    refit_per_iteration: bool = False
     # Dense-grid cell counts for the scan-to-scan odometry window (the
     # grid is re-centered on the current pose every step; extent in
     # meters = dims * voxel_size of the respective map config).

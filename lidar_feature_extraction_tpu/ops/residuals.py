@@ -139,6 +139,91 @@ def surface_rows_from_neighbors(nbrs, nvalid, scan_pts, scan_valid,
                          valid=ok)
 
 
+# --- fitted-geometry paths (fit once per search round) ---
+
+class EdgeGeometry(NamedTuple):
+    """Pose-independent per-correspondence line geometry.
+
+    The reference refits the neighborhood PCA every Gauss-Newton
+    iteration (``Edge::Make``, edge.hpp:83-126), but the fitted line is
+    a function of the *map neighbors* only — with cached candidate sets
+    (one gather per search round) the selected neighbors move only when
+    the pose leaves the candidate neighborhood, which triggers a round
+    refresh anyway. Fitting once per round makes each GN iteration pure
+    elementwise work + the normal-equation matmuls.
+    """
+
+    p1: jnp.ndarray     # [N, 3] virtual line point mean - principal
+    p2: jnp.ndarray     # [N, 3] virtual line point mean + principal
+    khat: jnp.ndarray   # [N, 3, 3] Hat(p2 - p1)
+    valid: jnp.ndarray  # [N]
+
+
+class SurfaceGeometry(NamedTuple):
+    """Pose-independent per-correspondence plane geometry (w: X w = -1)."""
+
+    w: jnp.ndarray      # [N, 3] plane coefficients
+    u: jnp.ndarray      # [N, 3] unit normal w/|w|
+    wnorm: jnp.ndarray  # [N, 1]
+    valid: jnp.ndarray  # [N]
+
+
+def fit_edge_geometry(cand, cand_ok, scan_pts, scan_valid, pose: Pose,
+                      k: int, min_neighbors: int = 5) -> EdgeGeometry:
+    """Select k nearest candidates at the round pose and fit the lines."""
+    p_map = pose.apply(scan_pts)
+    nbrs, _, nvalid = vg.topk_from_candidates(cand, cand_ok, p_map, k)
+    mean, cov = masked_mean_and_cov(nbrs, nvalid)
+    _, evecs = eigh3x3(cov)
+    principal = evecs[..., :, 2]
+    p1 = mean - principal
+    p2 = mean + principal
+    ok = scan_valid & (jnp.sum(nvalid, axis=-1) >= min_neighbors)
+    return EdgeGeometry(p1=p1, p2=p2, khat=quat.hat(p2 - p1), valid=ok)
+
+
+def fit_surface_geometry(cand, cand_ok, scan_pts, scan_valid, pose: Pose,
+                         k: int, min_neighbors: int = 5) -> SurfaceGeometry:
+    """Select k nearest candidates at the round pose and fit the planes."""
+    p_map = pose.apply(scan_pts)
+    nbrs, _, nvalid = vg.topk_from_candidates(cand, cand_ok, p_map, k)
+    w = fit_plane(nbrs, nvalid)
+    wnorm = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    u = w / jnp.maximum(wnorm, 1e-12)
+    ok = scan_valid & (jnp.sum(nvalid, axis=-1) >= min_neighbors)
+    return SurfaceGeometry(w=w, u=u, wnorm=wnorm, valid=ok)
+
+
+def edge_rows_from_geometry(geom: EdgeGeometry, scan_pts,
+                            pose: Pose) -> ResidualBlock:
+    """Pose-dependent half of the edge linearization (inner GN loop)."""
+    p_map = pose.apply(scan_pts)
+    dr = quat.drpdq(jnp.broadcast_to(pose.q, scan_pts.shape[:-1] + (4,)),
+                    scan_pts)                              # [N, 3, 4]
+    jac = jnp.concatenate([geom.khat @ dr, geom.khat], axis=-1)
+    res = jnp.cross(p_map - geom.p1, p_map - geom.p2)
+    okf = geom.valid[..., None]
+    return ResidualBlock(jacobian=jnp.where(okf[..., None], jac, 0.0),
+                         residual=jnp.where(okf, res, 0.0),
+                         valid=geom.valid)
+
+
+def surface_rows_from_geometry(geom: SurfaceGeometry, scan_pts,
+                               pose: Pose) -> ResidualBlock:
+    """Pose-dependent half of the surface linearization (inner GN loop)."""
+    p_map = pose.apply(scan_pts)
+    dr = quat.drpdq(jnp.broadcast_to(pose.q, scan_pts.shape[:-1] + (4,)),
+                    scan_pts)                              # [N, 3, 4]
+    ju = jnp.einsum("...i,...ij->...j", geom.u, dr)        # [N, 4]
+    jac = jnp.concatenate([ju, geom.u], axis=-1)[..., None, :]
+    res = ((jnp.sum(geom.w * p_map, axis=-1, keepdims=True) + 1.0)
+           / jnp.maximum(geom.wnorm, 1e-12))
+    okf = geom.valid[..., None]
+    return ResidualBlock(jacobian=jnp.where(okf[..., None], jac, 0.0),
+                         residual=jnp.where(okf, res, 0.0),
+                         valid=geom.valid)
+
+
 # --- full-search paths ---
 
 def edge_residuals(edge_map, scan_pts, scan_valid, pose: Pose, k: int,

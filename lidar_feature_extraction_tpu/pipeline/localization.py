@@ -34,7 +34,9 @@ from lidar_feature_extraction_tpu.ops import gauss_newton as gn
 from lidar_feature_extraction_tpu.ops.downsample import voxel_downsample
 from lidar_feature_extraction_tpu.ops.extraction import extract_features
 from lidar_feature_extraction_tpu.ops.residuals import (
-    edge_residuals_from_candidates, surface_residuals_from_candidates)
+    edge_residuals_from_candidates, surface_residuals_from_candidates,
+    fit_edge_geometry, fit_surface_geometry,
+    edge_rows_from_geometry, surface_rows_from_geometry)
 from lidar_feature_extraction_tpu.ops import voxel_grid as vg
 
 
@@ -102,12 +104,29 @@ def register_scan(maps: FeatureMaps, edge_pts, edge_valid, surf_pts,
         cand_s, ok_s = vg.neighborhood_candidates(
             maps.surface, pose.apply(surf_ds))
 
-        def problem_fn(p: Pose) -> gn.Problem:
-            eb = edge_residuals_from_candidates(
-                cand_e, ok_e, edge_pts, edge_valid, p, reg.n_neighbors)
-            sb = surface_residuals_from_candidates(
-                cand_s, ok_s, surf_ds, surf_ds_valid, p, reg.n_neighbors)
-            return gn.make_problem([eb, sb])
+        if reg.refit_per_iteration:
+            def problem_fn(p: Pose) -> gn.Problem:
+                eb = edge_residuals_from_candidates(
+                    cand_e, ok_e, edge_pts, edge_valid, p, reg.n_neighbors)
+                sb = surface_residuals_from_candidates(
+                    cand_s, ok_s, surf_ds, surf_ds_valid, p,
+                    reg.n_neighbors)
+                return gn.make_problem([eb, sb])
+        else:
+            # Neighbor selection + line/plane fits are pose-independent
+            # given the candidate sets: hoist them out of the GN loop so
+            # every inner iteration is elementwise rows + two [7, M]
+            # matmuls (see RegistrationConfig.refit_per_iteration).
+            eg = fit_edge_geometry(cand_e, ok_e, edge_pts, edge_valid,
+                                   pose, reg.n_neighbors)
+            sg = fit_surface_geometry(cand_s, ok_s, surf_ds,
+                                      surf_ds_valid, pose,
+                                      reg.n_neighbors)
+
+            def problem_fn(p: Pose) -> gn.Problem:
+                eb = edge_rows_from_geometry(eg, edge_pts, p)
+                sb = surface_rows_from_geometry(sg, surf_ds, p)
+                return gn.make_problem([eb, sb])
 
         return gn.run_gauss_newton(
             problem_fn, pose,
@@ -119,14 +138,21 @@ def register_scan(maps: FeatureMaps, edge_pts, edge_valid, surf_pts,
     result = one_round(prior)
     prev_pose = prior
     for _ in range(rounds - 1):
-        # Later rounds re-gather only when the previous round actually
-        # moved the pose out of its candidate neighborhoods — with a
-        # good EKF prior the steady state runs a single gather per scan,
-        # and lax.cond skips the whole round's work on device.
+        # Later rounds re-gather when the previous round moved the pose
+        # out of its candidate neighborhoods — with a good EKF prior the
+        # steady state runs a single gather per scan, and lax.cond skips
+        # the whole round's work on device. An error/scale-increase
+        # abort also triggers a refresh: with per-round frozen geometry
+        # those aborts can be artifacts of the frozen problem, and the
+        # reference (which refits every iteration) would have continued on
+        # the refitted problem.
         moved = jnp.linalg.norm(result.pose.t - prev_pose.t) \
             > refresh_threshold
+        aborted = (result.status == gn.ERROR_INCREASED) \
+            | (result.status == gn.SCALE_INCREASED)
+        rerun = moved | (aborted & ~jnp.asarray(reg.refit_per_iteration))
         prev_pose = result.pose
-        result = jax.lax.cond(moved, one_round, lambda p: result._replace(
+        result = jax.lax.cond(rerun, one_round, lambda p: result._replace(
             pose=p), result.pose)
     return result
 
@@ -184,6 +210,30 @@ class HostLocalizer:
 
         self._gather = jax.jit(gather)
 
+        def fit(maps, e_pts, e_valid, s_pts, s_valid, pose):
+            # Gather + neighbor selection + geometry fits, once per
+            # search round (pose-independent inside the round).
+            pe = pose.apply(e_pts)
+            ps = pose.apply(s_pts)
+            ce, oe = vg.neighborhood_candidates(maps.edge, pe)
+            cs, os_ = vg.neighborhood_candidates(maps.surface, ps)
+            eg = fit_edge_geometry(ce, oe, e_pts, e_valid, pose,
+                                   reg.n_neighbors)
+            sg = fit_surface_geometry(cs, os_, s_pts, s_valid, pose,
+                                      reg.n_neighbors)
+            return eg, sg
+
+        self._fit = jax.jit(fit)
+
+        def light_step(eg, sg, e_pts, s_pts, pose):
+            eb = edge_rows_from_geometry(eg, e_pts, pose)
+            sb = surface_rows_from_geometry(sg, s_pts, pose)
+            problem = gn.make_problem([eb, sb])
+            return gn.gn_iteration(problem, pose, reg.huber_k,
+                                   reg.degeneracy_threshold)
+
+        self._light_step = jax.jit(light_step)
+
         def step(cand_e, ok_e, cand_s, ok_s, e_pts, e_valid, s_pts,
                  s_valid, pose):
             eb = edge_residuals_from_candidates(
@@ -208,12 +258,20 @@ class HostLocalizer:
         pose = prior
         result = None
         for _ in range(rounds):
-            ce, oe, cs, os_ = self._gather(self.maps, edge_pts, surf_ds,
-                                           pose)
+            if reg.refit_per_iteration:
+                ce, oe, cs, os_ = self._gather(self.maps, edge_pts,
+                                               surf_ds, pose)
 
-            def step_fn(p, ce=ce, oe=oe, cs=cs, os_=os_):
-                return self._step(ce, oe, cs, os_, edge_pts, edge_valid,
-                                  surf_ds, surf_ds_valid, p)
+                def step_fn(p, ce=ce, oe=oe, cs=cs, os_=os_):
+                    return self._step(ce, oe, cs, os_, edge_pts,
+                                      edge_valid, surf_ds, surf_ds_valid,
+                                      p)
+            else:
+                eg, sg = self._fit(self.maps, edge_pts, edge_valid,
+                                   surf_ds, surf_ds_valid, pose)
+
+                def step_fn(p, eg=eg, sg=sg):
+                    return self._light_step(eg, sg, edge_pts, surf_ds, p)
 
             result = gn.run_gauss_newton_host(
                 step_fn, pose, iters, reg.convergence_tol)
@@ -221,6 +279,10 @@ class HostLocalizer:
             pose = result.pose
             if int(result.status) in (gn.CONVERGED, gn.EMPTY_INPUT):
                 break
+            aborted = int(result.status) in (gn.ERROR_INCREASED,
+                                             gn.SCALE_INCREASED)
+            if aborted and not reg.refit_per_iteration:
+                continue  # refresh: abort may be a frozen-geometry artifact
             if moved <= refresh_threshold:
                 break  # candidates still valid; nothing new to gather
         return result

@@ -185,3 +185,42 @@ def test_kitti_bin_reader(tmp_path):
     rings = kitti.estimate_rings(scan[:, :3])
     assert rings.shape == (1000,)
     assert (rings >= 0).all() and (rings < 64).all()
+
+
+def test_register_scan_refit_modes_agree():
+    """Hoisted-geometry registration (refit_per_iteration=False) must
+    recover the same pose as the per-iteration re-rank path."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    cfg = small_cfg()
+    world_edges, world_surfs = make_world(rng)
+    maps = build_feature_maps(
+        jnp.asarray(world_edges, jnp.float32),
+        jnp.ones(len(world_edges), bool),
+        jnp.asarray(world_surfs, jnp.float32),
+        jnp.ones(len(world_surfs), bool), cfg)
+
+    true_pose = Pose(
+        q=quat.exp_so3(jnp.asarray([0.0, 0.0, -0.12], jnp.float32)),
+        t=jnp.asarray([-0.8, 0.6, 0.05], jnp.float32))
+    e, s = sample_scan_features(world_edges, world_surfs, true_pose, rng)
+    e_pts, e_valid = pad_to(e, cfg.extraction.max_edges)
+    s_pts, s_valid = pad_to(s, cfg.extraction.max_surfaces)
+    prior = Pose(
+        q=quat.exp_so3(jnp.asarray([0.0, 0.0, -0.08], jnp.float32)),
+        t=jnp.asarray([-0.5, 0.4, 0.0], jnp.float32))
+
+    cfg_refit = dataclasses.replace(
+        cfg, registration=dataclasses.replace(
+            cfg.registration, refit_per_iteration=True))
+
+    fast = register_scan(maps, e_pts, e_valid, s_pts, s_valid, prior, cfg)
+    slow = register_scan(maps, e_pts, e_valid, s_pts, s_valid, prior,
+                         cfg_refit)
+
+    for r in (fast, slow):
+        t_err = np.linalg.norm(np.asarray(r.pose.t - true_pose.t))
+        assert t_err < 0.1, (t_err, int(r.status))
+    np.testing.assert_allclose(np.asarray(fast.pose.t),
+                               np.asarray(slow.pose.t), atol=0.02)

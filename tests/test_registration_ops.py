@@ -241,3 +241,70 @@ class TestResiduals:
                                  Pose.identity(jnp.float64), k=5)
         assert not bool(block.valid[0])
         np.testing.assert_allclose(np.asarray(block.jacobian), 0.0)
+
+
+class TestGeometryHoisting:
+    """The fitted-geometry path (fit once per round) must produce the
+    exact same rows as the candidate path when evaluated at the fit
+    pose, and the same registration result when the pose barely moves."""
+
+    def _scene(self):
+        rng = np.random.default_rng(7)
+        t = np.linspace(-4, 4, 81)
+        line = t[:, None] * np.array([0.2, 1.0, 0.1])
+        line += rng.normal(scale=1e-3, size=line.shape)
+        g = np.stack(np.meshgrid(np.linspace(-5, 5, 31),
+                                 np.linspace(-5, 5, 31)), -1).reshape(-1, 2)
+        plane = np.concatenate([g, rng.normal(scale=1e-3,
+                                              size=(len(g), 1))], -1)
+        return line, plane, rng
+
+    def test_rows_match_candidate_path_at_fit_pose(self):
+        from lidar_feature_extraction_tpu.ops import voxel_grid as vg
+
+        line, plane, rng = self._scene()
+        e_origin, e_dims = vg.grid_for_bounds(line.min(0), line.max(0), 1.0)
+        s_origin, s_dims = vg.grid_for_bounds(plane.min(0), plane.max(0),
+                                              1.0)
+        eg_map = vg.build_voxel_grid(jnp.asarray(line),
+                                     jnp.ones(len(line), bool), 1.0,
+                                     e_origin, e_dims, 16)
+        sg_map = vg.build_voxel_grid(jnp.asarray(plane),
+                                     jnp.ones(len(plane), bool), 1.0,
+                                     s_origin, s_dims, 16)
+
+        e_scan = jnp.asarray(line[5:70:9] + rng.normal(scale=0.01,
+                                                       size=(8, 3)))
+        s_scan = jnp.asarray(plane[10:800:37] + rng.normal(
+            scale=0.01, size=(22, 3)))
+        e_valid = jnp.ones(e_scan.shape[0], bool)
+        s_valid = jnp.ones(s_scan.shape[0], bool)
+        pose = Pose(quat.quat_normalize(jnp.asarray([1.0, 0.01, -0.02,
+                                                     0.015])),
+                    jnp.asarray([0.05, -0.03, 0.02]))
+
+        ce, oe = vg.neighborhood_candidates(eg_map, pose.apply(e_scan))
+        cs, os_ = vg.neighborhood_candidates(sg_map, pose.apply(s_scan))
+
+        ref_e = R.edge_residuals_from_candidates(ce, oe, e_scan, e_valid,
+                                                 pose, 8)
+        ref_s = R.surface_residuals_from_candidates(cs, os_, s_scan,
+                                                    s_valid, pose, 8)
+
+        geo_e = R.fit_edge_geometry(ce, oe, e_scan, e_valid, pose, 8)
+        geo_s = R.fit_surface_geometry(cs, os_, s_scan, s_valid, pose, 8)
+        got_e = R.edge_rows_from_geometry(geo_e, e_scan, pose)
+        got_s = R.surface_rows_from_geometry(geo_s, s_scan, pose)
+
+        np.testing.assert_allclose(np.asarray(got_e.jacobian),
+                                   np.asarray(ref_e.jacobian), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_e.residual),
+                                   np.asarray(ref_e.residual), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_s.jacobian),
+                                   np.asarray(ref_s.jacobian), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_s.residual),
+                                   np.asarray(ref_s.residual), atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(got_e.valid),
+                                      np.asarray(ref_e.valid))
+        np.testing.assert_array_equal(np.asarray(got_s.valid),
+                                      np.asarray(ref_s.valid))
