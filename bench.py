@@ -34,7 +34,7 @@ def build_scene(cfg, rng):
 
     from lidar_feature_extraction_tpu.core.scan import RangeImage
     from lidar_feature_extraction_tpu.pipeline.localization import (
-        build_feature_maps)
+        build_feature_maps, build_geometry_maps)
 
     ex = cfg.extraction
     R, P = ex.n_rings, ex.max_points_per_ring
@@ -59,7 +59,10 @@ def build_scene(cfg, rng):
                       wall_y, wall_z], axis=-1)
     surf_pts = np.concatenate([ground, walls])
 
-    maps = build_feature_maps(
+    build = (build_feature_maps
+             if os.environ.get("BENCH_MODE") == "points"
+             else build_geometry_maps)
+    maps = build(
         jnp.asarray(edge_pts, jnp.float32),
         jnp.ones(len(edge_pts), bool),
         jnp.asarray(surf_pts, jnp.float32),

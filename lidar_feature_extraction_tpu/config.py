@@ -90,6 +90,11 @@ class RegistrationConfig:
     """Gauss-Newton scan registration parameters."""
 
     n_neighbors: int = 15            # localizer.hpp:46
+    # Minimum neighborhood size for a line/plane fit to count as a
+    # correspondence (masked kNN / geometry-grid validity gate; the
+    # reference has no explicit gate — a starved KD-tree query simply
+    # returns duplicated far points).
+    min_fit_points: int = 5
     max_iterations: int = 40         # localization.cpp:54 (Optimizer default 20)
     convergence_tol: float = 1e-3    # optimizer.cpp:35-38
     huber_k: float = 1.345           # robust.hpp

@@ -37,12 +37,24 @@ from lidar_feature_extraction_tpu.ops.residuals import (
     edge_residuals_from_candidates, surface_residuals_from_candidates,
     fit_edge_geometry, fit_surface_geometry,
     edge_rows_from_geometry, surface_rows_from_geometry)
+from lidar_feature_extraction_tpu.ops import geometry_grid as gg
 from lidar_feature_extraction_tpu.ops import voxel_grid as vg
 
 
 class FeatureMaps(NamedTuple):
     edge: vg.DenseVoxelGrid
     surface: vg.DenseVoxelGrid
+
+
+class GeometryMaps(NamedTuple):
+    """Precomputed-geometry feature maps (ops/geometry_grid.py): the
+    per-voxel line/plane fits are baked at build time, so registration
+    re-searches every Gauss-Newton iteration with one 8-float gather
+    per point — the reference's per-iteration KD-tree search pattern
+    (optimizer.hpp:85-86) at TPU-native cost."""
+
+    edge: gg.GeometryGrid
+    surface: gg.GeometryGrid
 
 
 def build_feature_maps(edge_xyz, edge_mask, surface_xyz, surface_mask,
@@ -75,6 +87,66 @@ def build_feature_maps(edge_xyz, edge_mask, surface_xyz, surface_mask,
                                     sm.voxel_size, s_origin, s_dims,
                                     sm.points_per_voxel),
     )
+
+
+def build_geometry_maps(edge_xyz, edge_mask, surface_xyz, surface_mask,
+                        cfg: PipelineConfig) -> GeometryMaps:
+    """Bake per-voxel line/plane geometry from the feature map clouds.
+
+    Same role as ``build_feature_maps`` (KD-tree construction at
+    localizer startup, ``localization/app/localization.cpp:79-83``) but
+    the neighborhood fits of ``Edge::Make`` / ``Surface::Make`` are
+    done here, once, for every map voxel."""
+    em = cfg.registration.edge_map
+    sm = cfg.registration.surface_map
+
+    def bounds(xyz, mask):
+        pts = np.asarray(xyz)[np.asarray(mask)]
+        if len(pts) == 0:
+            return np.zeros(3, np.float32), np.ones(3, np.float32)
+        return pts.min(axis=0), pts.max(axis=0)
+
+    e_lo, e_hi = bounds(edge_xyz, edge_mask)
+    s_lo, s_hi = bounds(surface_xyz, surface_mask)
+    e_origin, e_dims = vg.grid_for_bounds(e_lo, e_hi, em.voxel_size)
+    s_origin, s_dims = vg.grid_for_bounds(s_lo, s_hi, sm.voxel_size)
+
+    return GeometryMaps(
+        edge=gg.build_edge_geometry_grid(edge_xyz, edge_mask,
+                                         em.voxel_size, e_origin, e_dims),
+        surface=gg.build_surface_geometry_grid(
+            surface_xyz, surface_mask, sm.voxel_size, s_origin, s_dims),
+    )
+
+
+def register_scan_geometry(maps: GeometryMaps, edge_pts, edge_valid,
+                           surf_pts, surf_valid, prior: Pose,
+                           cfg: PipelineConfig) -> gn.GNResult:
+    """Gauss-Newton registration against precomputed-geometry maps.
+
+    The per-point correspondence (voxel lookup) is re-done EVERY
+    iteration — cheap enough that the reference's per-iteration
+    re-search semantics come back for free; no candidate caching, no
+    search rounds."""
+    reg = cfg.registration
+    surf_ds, surf_ds_valid = voxel_downsample(
+        surf_pts, surf_valid, reg.surface_downsample_leaf,
+        reg.max_surface_points)
+
+    def problem_fn(p: Pose) -> gn.Problem:
+        eb = gg.edge_rows_from_grid(maps.edge, edge_pts, edge_valid, p,
+                                    reg.min_fit_points)
+        sb = gg.surface_rows_from_grid(maps.surface, surf_ds,
+                                       surf_ds_valid, p,
+                                       reg.min_fit_points)
+        return gn.make_problem([eb, sb])
+
+    return gn.run_gauss_newton(
+        problem_fn, prior,
+        max_iterations=reg.max_iterations,
+        convergence_tol=reg.convergence_tol,
+        huber_k=reg.huber_k,
+        degeneracy_threshold=reg.degeneracy_threshold)
 
 
 def register_scan(maps: FeatureMaps, edge_pts, edge_valid, surf_pts,
@@ -172,9 +244,11 @@ def localize_scan(maps: FeatureMaps, image: RangeImage, prior: Pose,
     seconds for its pieces, and host stepping adds only ~0.2 ms/iter.
     """
     feats = extract_features(image, cfg.extraction)
-    result = register_scan(maps, feats.edge_xyz, feats.edge_valid,
-                           feats.surface_xyz, feats.surface_valid,
-                           prior, cfg)
+    register = (register_scan_geometry
+                if isinstance(maps, GeometryMaps) else register_scan)
+    result = register(maps, feats.edge_xyz, feats.edge_valid,
+                      feats.surface_xyz, feats.surface_valid,
+                      prior, cfg)
     return result, feats
 
 
@@ -246,9 +320,29 @@ class HostLocalizer:
 
         self._step = jax.jit(step)
 
+        def geometry_step(maps, e_pts, e_valid, s_pts, s_valid, pose):
+            eb = gg.edge_rows_from_grid(maps.edge, e_pts, e_valid, pose,
+                                        reg.min_fit_points)
+            sb = gg.surface_rows_from_grid(maps.surface, s_pts, s_valid,
+                                           pose, reg.min_fit_points)
+            problem = gn.make_problem([eb, sb])
+            return gn.gn_iteration(problem, pose, reg.huber_k,
+                                   reg.degeneracy_threshold)
+
+        self._geometry_step = jax.jit(geometry_step)
+
     def register(self, edge_pts, edge_valid, surf_pts, surf_valid,
                  prior: Pose) -> gn.GNResult:
         reg = self.cfg.registration
+        if isinstance(self.maps, GeometryMaps):
+            surf_ds, surf_ds_valid = self._downsample(surf_pts, surf_valid)
+
+            def step_fn(p):
+                return self._geometry_step(self.maps, edge_pts, edge_valid,
+                                           surf_ds, surf_ds_valid, p)
+
+            return gn.run_gauss_newton_host(
+                step_fn, prior, reg.max_iterations, reg.convergence_tol)
         surf_ds, surf_ds_valid = self._downsample(surf_pts, surf_valid)
         rounds = max(reg.n_search_rounds, 1)
         iters = -(-reg.max_iterations // rounds)
