@@ -81,21 +81,51 @@ def _bisect_median(values: jnp.ndarray, mask: jnp.ndarray,
     return jnp.where(n > 0, med, jnp.asarray(jnp.nan, values.dtype))
 
 
+def _wide_median(values: jnp.ndarray, mask: jnp.ndarray,
+                 branch: int = 256, rounds: int = 3) -> jnp.ndarray:
+    """Median by WIDE value-range bisection: each round tests ``branch``
+    thresholds simultaneously (one fused compare+count pass over the
+    data, a [N, branch] reduction the TPU eats in microseconds) and
+    narrows the interval by ``branch``x. Three rounds reach
+    range * 256^-3 = 2^-24 — f32-exact — where the sequential bisection
+    needed 30 dependent rounds (measured 0.62 ms/GN-iteration; this
+    form is ~10x cheaper). Converges to the lower-middle order
+    statistic like the sequential version."""
+    big = jnp.asarray(jnp.finfo(values.dtype).max, values.dtype)
+    n = jnp.sum(mask.astype(jnp.int32))
+    half = (n + 1) // 2  # rank of the lower middle element
+    lo = jnp.min(jnp.where(mask, values, big))
+    hi = jnp.max(jnp.where(mask, values, -big))
+
+    steps = jnp.arange(1, branch + 1, dtype=values.dtype)
+    for _ in range(rounds):
+        w = (hi - lo) / branch
+        t = lo + w * steps                                  # [branch]
+        below = jnp.sum(((values[:, None] <= t[None, :])
+                         & mask[:, None]).astype(jnp.int32), axis=0)
+        j = jnp.minimum(jnp.sum((below < half).astype(jnp.int32)),
+                        branch - 1).astype(values.dtype)
+        lo, hi = lo + w * j, lo + w * (j + 1)
+    med = 0.5 * (lo + hi)
+    return jnp.where(n > 0, med, jnp.asarray(jnp.nan, values.dtype))
+
+
 def masked_scale_bisect(values: jnp.ndarray, mask: jnp.ndarray,
                         iters: int = 30) -> jnp.ndarray:
-    """Sort-free ``1.4826 * MAD`` via two bisection medians.
+    """Sort-free ``1.4826 * MAD`` via two wide-bisection medians.
 
     Each bisection converges to the LOWER-middle order statistic
     (rank ceil(n/2)); for even counts the reference averages the two
     middles (stats.cpp:44-55), so this deviates by up to the middle gap
     (~1/n relative for smooth error distributions). The Huber-IRLS
     weights this scale normalizes are insensitive to percent-level
-    scale shifts, and the sort-free form is ~5x cheaper inside the
-    Gauss-Newton hot loop on TPU.
+    scale shifts, and the sort-free form is far cheaper inside the
+    Gauss-Newton hot loop on TPU. ``iters`` is kept for API
+    compatibility; precision is fixed at f32-exact (see _wide_median).
     """
-    med = _bisect_median(values, mask, iters)
-    return MAD_CONSISTENCY * _bisect_median(jnp.abs(values - med), mask,
-                                            iters)
+    del iters
+    med = _wide_median(values, mask)
+    return MAD_CONSISTENCY * _wide_median(jnp.abs(values - med), mask)
 
 
 def huber(e: jnp.ndarray, k: float = 1.345) -> jnp.ndarray:

@@ -135,8 +135,7 @@ def weighted_update(q: jnp.ndarray, weights: jnp.ndarray,
     # instead of XLA's iterative linalg lowerings.
     dx = -smallalg.cholesky_solve(H, g)
 
-    eigvals = smallalg.jacobi_eigvalsh(D)
-    degenerate = jnp.any(jnp.abs(eigvals) < degeneracy_threshold)
+    degenerate = smallalg.min_eigval_below(D, degeneracy_threshold)
     bad = degenerate | ~jnp.all(jnp.isfinite(dx))
     return jnp.where(bad, jnp.zeros_like(dx), dx)
 

@@ -90,6 +90,35 @@ def cholesky_solve(a: jnp.ndarray, b: jnp.ndarray,
     return jnp.stack(x)
 
 
+def min_eigval_below(a: jnp.ndarray, tau: float) -> jnp.ndarray:
+    """True iff the minimum eigenvalue of symmetric PSD ``a`` [n, n] is
+    below ``tau`` — exactly the reference degeneracy test
+    (``IsDegenerate`` degenerate.cpp:32-37: any |lambda| < 0.1; J^T J is
+    PSD so |lambda| = lambda).
+
+    lambda_min(a) < tau  <=>  (a - tau I) is not positive definite,
+    decided by one unrolled Cholesky: a pivot hits a non-positive value
+    iff the factorization fails (sqrt of a negative yields NaN, which
+    also fails the > 0 comparison). ~30 flops instead of the
+    168-rotation Jacobi spectrum this replaces in the GN hot loop.
+    """
+    n = a.shape[-1]
+    a = a - tau * jnp.eye(n, dtype=a.dtype)
+    l = [[None] * n for _ in range(n)]
+    ok = jnp.asarray(True)
+    for i in range(n):
+        for j in range(i + 1):
+            s = a[i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            if i == j:
+                ok = ok & (s > 0)
+                l[i][i] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                l[i][j] = s / l[j][j]
+    return ~ok
+
+
 def jacobi_eigvalsh(a: jnp.ndarray, sweeps: int = 8) -> jnp.ndarray:
     """Eigenvalues of a symmetric [n, n] via fixed-sweep cyclic Jacobi.
 

@@ -199,4 +199,99 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys as _sys
+    if "--geometry" in _sys.argv:
+        profile_geometry_mode()
+        raise SystemExit
     main()
+
+
+def profile_geometry_mode():
+    """Per-stage device times of the geometry-map hot path (the bench
+    default since the precomputed-voxel-geometry redesign)."""
+    from bench import build_scene
+    from lidar_feature_extraction_tpu.ops import geometry_grid as ggr
+    from lidar_feature_extraction_tpu.pipeline.localization import (
+        build_geometry_maps)
+
+    cfg = kitti_hdl64()
+    reg = cfg.registration
+    rng = np.random.default_rng(0)
+    import bench as bench_mod
+    import os
+    os.environ["BENCH_MODE"] = ""  # geometry default
+    maps, image = build_scene(cfg, rng)
+    prior = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                 t=jnp.asarray([0.3, -0.2, 0.05], jnp.float32))
+
+    feats = jax.jit(lambda im: extract_features(im, cfg.extraction))(image)
+    surf_ds, surf_ds_valid = jax.jit(
+        lambda p, v: voxel_downsample(p, v, reg.surface_downsample_leaf,
+                                      reg.max_surface_points))(
+        feats.surface_xyz, feats.surface_valid)
+    jax.block_until_ready(surf_ds)
+
+    def gath(c):
+        q, acc = c
+        rec_e, _ = ggr.gather_records(maps.edge, q)
+        return q + 1e-12, acc + rec_e[0, 0]
+
+    pe = prior.apply(feats.edge_xyz)
+    timeit_fused("geometry gather (edge 2048)", gath, (pe, jnp.float32(0)))
+
+    def rows_body(c):
+        pose, acc = c
+        eb = ggr.edge_rows_from_grid(maps.edge, feats.edge_xyz,
+                                     feats.edge_valid, pose,
+                                     reg.min_fit_points)
+        sb = ggr.surface_rows_from_grid(maps.surface, surf_ds,
+                                        surf_ds_valid, pose,
+                                        reg.min_fit_points)
+        problem = gn.make_problem([eb, sb])
+        return Pose(pose.q, pose.t + 1e-12), acc + problem.errors[0]
+
+    timeit_fused("geometry rows+make_problem", rows_body,
+                 (prior, jnp.float32(0)))
+
+    def full_iter(c):
+        pose, acc = c
+        eb = ggr.edge_rows_from_grid(maps.edge, feats.edge_xyz,
+                                     feats.edge_valid, pose,
+                                     reg.min_fit_points)
+        sb = ggr.surface_rows_from_grid(maps.surface, surf_ds,
+                                        surf_ds_valid, pose,
+                                        reg.min_fit_points)
+        problem = gn.make_problem([eb, sb])
+        step = gn.gn_iteration(problem, pose, reg.huber_k,
+                               reg.degeneracy_threshold)
+        return step.pose, acc + step.error
+
+    timeit_fused("geometry full GN iteration", full_iter,
+                 (prior, jnp.float32(0)))
+
+    eb = ggr.edge_rows_from_grid(maps.edge, feats.edge_xyz,
+                                 feats.edge_valid, prior,
+                                 reg.min_fit_points)
+    sb = ggr.surface_rows_from_grid(maps.surface, surf_ds, surf_ds_valid,
+                                    prior, reg.min_fit_points)
+    problem = jax.jit(lambda: gn.make_problem([eb, sb]))()
+    jax.block_until_ready(problem)
+
+    def solve_body(c):
+        pose, acc = c
+        step = gn.gn_iteration(problem, pose, reg.huber_k,
+                               reg.degeneracy_threshold)
+        return step.pose, acc + step.error
+
+    timeit_fused("  scale+weights+solve only", solve_body,
+                 (prior, jnp.float32(0)))
+
+    from lidar_feature_extraction_tpu.core import stats
+
+    def mad_body(c):
+        e, acc = c
+        s = stats.masked_scale_bisect(e, problem.valid)
+        return e + 1e-12, acc + s
+
+    timeit_fused("    wide-median scale only", mad_body,
+                 (problem.errors, jnp.float32(0)))

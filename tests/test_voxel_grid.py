@@ -118,3 +118,21 @@ def test_smallalg_jacobi_eigvals():
     w = np.sort(np.asarray(smallalg.jacobi_eigvalsh(jnp.asarray(a))))
     np.testing.assert_allclose(w, np.linalg.eigvalsh(a), rtol=1e-8,
                                atol=1e-10)
+
+
+def test_smallalg_min_eigval_below():
+    from lidar_feature_extraction_tpu.ops import smallalg
+
+    rng = np.random.default_rng(8)
+    for _ in range(20):
+        j = rng.normal(size=(20, 7))
+        d = j.T @ j  # PSD like the GN degeneracy matrix
+        lam_min = np.linalg.eigvalsh(d)[0]
+        for tau in [0.1, lam_min * 0.5, lam_min * 2.0 + 1e-6]:
+            got = bool(smallalg.min_eigval_below(jnp.asarray(d), float(tau)))
+            assert got == (lam_min < tau), (lam_min, tau)
+    # Rank-deficient: lambda_min ~ 0 must trip the 0.1 threshold.
+    j = rng.normal(size=(20, 6))
+    d = np.zeros((7, 7))
+    d[:6, :6] = j.T @ j
+    assert bool(smallalg.min_eigval_below(jnp.asarray(d), 0.1))
