@@ -109,12 +109,20 @@ def main():
     # the fused localize_scan), one readback at the end. This tunnel's
     # device->host readbacks can stall for seconds, and a production TPU
     # pipeline streams scans without per-scan host sync anyway.
+    #
+    # Each iteration DEPENDS on the previous result (the scan is shifted
+    # by the last estimated translation and the prior chains from it,
+    # like a real sequential replay) — otherwise XLA hoists the entire
+    # loop-invariant pipeline out of the fori_loop and the benchmark
+    # measures nothing.
     n_iters = int(os.environ.get("BENCH_ITERS", "30"))
 
     def bench_loop(maps, image, prior):
         def body(i, carry):
-            total_iters, _ = carry
-            result, _feats = localize_scan(maps, image, prior, cfg)
+            total_iters, t = carry
+            im = image._replace(xyz=image.xyz + 1e-3 * t[None, None, :])
+            pr = Pose(q=prior.q, t=prior.t + 1e-3 * t)
+            result, _feats = localize_scan(maps, im, pr, cfg)
             return total_iters + result.iterations, result.pose.t
         return jax.lax.fori_loop(
             0, n_iters, body, (jnp.asarray(0, jnp.int32), prior.t))

@@ -1,0 +1,142 @@
+"""Device-time per stage for the GEOMETRY-MAP hot path (the bench.py
+default). Each stage loops N times inside one jit with a carried data
+dependence, so neither dispatch overhead nor loop-invariant hoisting
+pollutes the numbers.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+from bench import build_scene
+from lidar_feature_extraction_tpu.config import kitti_hdl64
+from lidar_feature_extraction_tpu.core.pose import Pose
+from lidar_feature_extraction_tpu.ops import gauss_newton as gn
+from lidar_feature_extraction_tpu.ops import geometry_grid as gg
+from lidar_feature_extraction_tpu.ops.downsample import voxel_downsample
+from lidar_feature_extraction_tpu.ops.extraction import (
+    extract_features, label_range_image)
+from lidar_feature_extraction_tpu.pipeline.localization import (
+    localize_scan, register_scan_geometry)
+
+N = 30
+
+
+def timeit_fused(name, body, init, n=N):
+    @jax.jit
+    def prog(c):
+        return jax.lax.fori_loop(0, n, lambda i, c: body(c), c)
+
+    out = prog(init)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = prog(init)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:44s} {1000 * dt:8.3f} ms/iter", flush=True)
+    return out
+
+
+def main():
+    cfg = kitti_hdl64()
+    reg = cfg.registration
+    rng = np.random.default_rng(0)
+    maps, image = build_scene(cfg, rng)
+    prior = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                 t=jnp.asarray([0.3, -0.2, 0.05], jnp.float32))
+
+    feats = jax.jit(lambda im: extract_features(im, cfg.extraction))(image)
+    surf_ds, surf_ds_valid = jax.jit(
+        lambda p, v: voxel_downsample(p, v, reg.surface_downsample_leaf,
+                                      reg.max_surface_points))(
+        feats.surface_xyz, feats.surface_valid)
+    jax.block_until_ready(surf_ds)
+
+    def full_body(c):
+        im, t = c
+        im2 = im._replace(xyz=image.xyz + 1e-3 * t[None, None, :])
+        pr = Pose(q=prior.q, t=prior.t + 1e-3 * t)
+        result, _ = localize_scan(maps, im2, pr, cfg)
+        return im2, result.pose.t
+
+    timeit_fused("FULL localize_scan", full_body, (image, prior.t))
+
+    def ext_body(c):
+        im, acc = c
+        f = extract_features(im, cfg.extraction)
+        return im._replace(xyz=image.xyz + 1e-9 * acc), \
+            acc + f.curvature[0, 0] + f.edge_xyz[0, 0]
+
+    timeit_fused("extract_features", ext_body, (image, jnp.float32(0)))
+
+    def lab_body(c):
+        im, acc = c
+        lab, curv = label_range_image(im, cfg.extraction)
+        return im._replace(xyz=image.xyz + 1e-9 * acc), acc + curv[0, 0]
+
+    timeit_fused("  label_range_image", lab_body, (image, jnp.float32(0)))
+
+    def ds_body(c):
+        pts, acc = c
+        out, ok = voxel_downsample(pts, feats.surface_valid,
+                                   reg.surface_downsample_leaf,
+                                   reg.max_surface_points)
+        return feats.surface_xyz + 1e-9 * acc, acc + out[0, 0]
+
+    timeit_fused("voxel_downsample(surface)", ds_body,
+                 (feats.surface_xyz, jnp.float32(0)))
+
+    def reg_body(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        result = register_scan_geometry(
+            maps, feats.edge_xyz, feats.edge_valid,
+            feats.surface_xyz, feats.surface_valid, pr, cfg)
+        return prior.t + 1e-6 * result.pose.t, acc + result.iterations
+
+    timeit_fused("register_scan_geometry (all iters)", reg_body,
+                 (prior.t, jnp.asarray(0, jnp.int32)))
+
+    def rows_body(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        eb = gg.edge_rows_from_grid(maps.edge, feats.edge_xyz,
+                                    feats.edge_valid, pr,
+                                    reg.min_fit_points)
+        sb = gg.surface_rows_from_grid(maps.surface, surf_ds,
+                                       surf_ds_valid, pr,
+                                       reg.min_fit_points)
+        problem = gn.make_problem([eb, sb])
+        step = gn.gn_iteration(problem, pr, reg.huber_k,
+                               reg.degeneracy_threshold)
+        return prior.t + 1e-6 * step.pose.t, acc + 1
+
+    timeit_fused("  one GN iteration (rows+solve)", rows_body,
+                 (prior.t, jnp.asarray(0, jnp.int32)))
+
+    def rows_only(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        eb = gg.edge_rows_from_grid(maps.edge, feats.edge_xyz,
+                                    feats.edge_valid, pr,
+                                    reg.min_fit_points)
+        sb = gg.surface_rows_from_grid(maps.surface, surf_ds,
+                                       surf_ds_valid, pr,
+                                       reg.min_fit_points)
+        problem = gn.make_problem([eb, sb])
+        return prior.t + 1e-9 * problem.residual[0], acc + 1
+
+    timeit_fused("    residual rows only", rows_only,
+                 (prior.t, jnp.asarray(0, jnp.int32)))
+
+
+if __name__ == "__main__":
+    main()
