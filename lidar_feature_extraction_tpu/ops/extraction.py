@@ -148,7 +148,11 @@ def _nms_pass(labels, curvature, blk, g, count, *, padding, n_blocks,
 
     Rounds needed: typically a handful; worst case (a monotone chain
     spaced <= padding apart) resolves ~1 selection per round like the
-    old argmax version — ``n_iter`` caps it.
+    old argmax version — ``n_iter`` caps it. The loop exits as soon as
+    a round selects nothing: selection/suppression depend only on
+    ``labels``, so a no-op round is a fixpoint and early exit is exact
+    (and the cap can sit far above the typical round count for a hard
+    equivalence guarantee at no steady-state cost).
     """
     P = curvature.shape[-1]
     lane = jnp.arange(P)[None, :]
@@ -158,7 +162,8 @@ def _nms_pass(labels, curvature, blk, g, count, *, padding, n_blocks,
     thr_ok = (curvature >= threshold) if pick_max else (curvature <= threshold)
     base_cand = (blk >= 0) & thr_ok
 
-    def body(_, labels):
+    def body(state):
+        labels, it, _ = state
         cand = base_cand & (labels == DEFAULT)
         s = jnp.where(cand, score, neg_inf)                     # [R, P]
 
@@ -195,9 +200,16 @@ def _nms_pass(labels, curvature, blk, g, count, *, padding, n_blocks,
 
         labels = jnp.where(win, neighbor_code, labels)
         labels = jnp.where(selected, point_code, labels)
-        return labels
+        return labels, it + 1, jnp.any(selected)
 
-    return jax.lax.fori_loop(0, n_iter, body, labels)
+    def cond(state):
+        _, it, changed = state
+        return changed & (it < n_iter)
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(True)))
+    return labels
 
 
 def occlusion_mask(rng, nb, g, count, *, padding, distance_diff_threshold):

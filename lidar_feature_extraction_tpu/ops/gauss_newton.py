@@ -60,16 +60,32 @@ class Problem(NamedTuple):
 
     jac_rows:  [M, 7] all jacobian rows (M = sum of N_b * D_b)
     res_rows:  [M] residual entries matching the rows
-    row_corr:  [M] int32 index of the owning correspondence
     errors:    [N] r_i . r_i per correspondence
     valid:     [N] per-correspondence validity
+    shape:     static ((N_b, D_b), ...) block structure — lets per-
+               correspondence quantities broadcast to rows with static
+               reshapes instead of a [M] index gather (TPU gathers cost
+               ~0.3 ms per launch regardless of size; see docs/design.md)
     """
 
     jac_rows: jnp.ndarray
     res_rows: jnp.ndarray
-    row_corr: jnp.ndarray
     errors: jnp.ndarray
     valid: jnp.ndarray
+    shape: tuple
+
+
+def rows_from_corr(problem: Problem, values: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a per-correspondence [N] vector to per-row [M] using the
+    static block structure (replaces ``values[row_corr]``: a reshape
+    chain instead of an irregular gather)."""
+    out = []
+    offset = 0
+    for n, d in problem.shape:
+        seg = values[offset:offset + n]
+        out.append(jnp.broadcast_to(seg[:, None], (n, d)).reshape(n * d))
+        offset += n
+    return jnp.concatenate(out, axis=0)
 
 
 def make_problem(blocks) -> Problem:
@@ -79,21 +95,19 @@ def make_problem(blocks) -> Problem:
     surface jacobian/residual lists. Row form keeps the normal-equation
     reductions as two [7, M] x [M, 7] matmuls on the MXU instead of
     per-correspondence outer-product einsums."""
-    jacs, ress, corrs, errs, valids = [], [], [], [], []
-    offset = 0
+    jacs, ress, errs, valids, shape = [], [], [], [], []
     for b in blocks:
         n, d, _ = b.jacobian.shape
         jacs.append(b.jacobian.reshape(n * d, 7))
         ress.append(b.residual.reshape(n * d))
-        corrs.append(jnp.repeat(jnp.arange(n) + offset, d))
         errs.append(jnp.sum(b.residual * b.residual, axis=-1))
         valids.append(b.valid)
-        offset += n
+        shape.append((n, d))
     return Problem(jac_rows=jnp.concatenate(jacs, axis=0),
                    res_rows=jnp.concatenate(ress, axis=0),
-                   row_corr=jnp.concatenate(corrs, axis=0),
                    errors=jnp.concatenate(errs, axis=0),
-                   valid=jnp.concatenate(valids, axis=0))
+                   valid=jnp.concatenate(valids, axis=0),
+                   shape=tuple(shape))
 
 
 def make_m(q: jnp.ndarray) -> jnp.ndarray:
@@ -120,8 +134,8 @@ def weighted_update(q: jnp.ndarray, weights: jnp.ndarray,
     dtype = problem.jac_rows.dtype
     w = jnp.where(problem.valid, weights, 0.0)
     vf = problem.valid.astype(dtype)
-    w_rows = w[problem.row_corr][:, None]
-    v_rows = vf[problem.row_corr][:, None]
+    w_rows = rows_from_corr(problem, w)[:, None]
+    v_rows = rows_from_corr(problem, vf)[:, None]
     j = problem.jac_rows
     D = (j * v_rows).T @ j
     A = (j * w_rows).T @ j

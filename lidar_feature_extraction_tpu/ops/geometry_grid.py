@@ -251,6 +251,79 @@ def gather_records(grid: GeometryGrid, queries: jnp.ndarray):
     return grid.rec[cells], cells < grid.capacity
 
 
+def fuse_record_tables(edge: GeometryGrid,
+                       surface: GeometryGrid) -> jnp.ndarray:
+    """Concatenate the two record tables into one [Ce + Cs + 1, 8] array
+    (edge rows, surface rows, shared zero dump row) so registration can
+    gather edge AND surface records in a single irregular op per
+    iteration — on this hardware every gather launch costs ~0.3 ms
+    regardless of row count, so one fused gather halves the per-
+    iteration correspondence cost (docs/design.md §7)."""
+    return jnp.concatenate([edge.rec[:-1], surface.rec], axis=0)
+
+
+def fused_rows_from_grids(edge_grid: GeometryGrid,
+                          surf_grid: GeometryGrid,
+                          fused_rec: jnp.ndarray,
+                          edge_pts, edge_valid, surf_pts, surf_valid,
+                          pose: Pose, min_points: int):
+    """Edge + surface residual rows with ONE record gather.
+
+    Identical math to ``edge_rows_from_grid`` + ``surface_rows_from_grid``
+    (the per-iteration re-search of Edge::Make / Surface::Make against
+    precomputed per-voxel geometry); the only difference is that the two
+    record lookups ride a single concatenated-index gather against
+    ``fuse_record_tables`` output.
+    """
+    from lidar_feature_extraction_tpu.ops.residuals import ResidualBlock
+
+    ce_cap = edge_grid.capacity
+    cs_cap = surf_grid.capacity
+    dump = ce_cap + cs_cap
+
+    pe = pose.apply(edge_pts)
+    ps = pose.apply(surf_pts)
+    cells_e = _ravel(_cell_of(pe, edge_grid.voxel_size, edge_grid.origin),
+                     edge_grid.dims)
+    cells_s = _ravel(_cell_of(ps, surf_grid.voxel_size, surf_grid.origin),
+                     surf_grid.dims)
+    in_e = cells_e < ce_cap
+    in_s = cells_s < cs_cap
+    idx = jnp.concatenate([jnp.where(in_e, cells_e, dump),
+                           ce_cap + cells_s], axis=0)
+    rec = fused_rec[idx]
+    qe = edge_pts.shape[0]
+    rec_e, rec_s = rec[:qe], rec[qe:]
+
+    # Edge rows: residual (p - p1) x (p - p2), Jacobian
+    # [Hat(p2 - p1) DRpDq | Hat(p2 - p1)] (edge.cpp:66-88).
+    m, v, cnt_e = rec_e[..., 0:3], rec_e[..., 3:6], rec_e[..., 6]
+    p1, p2 = m - v, m + v
+    khat = quat.hat(p2 - p1)
+    dr_e = quat.drpdq(jnp.broadcast_to(pose.q, edge_pts.shape[:-1] + (4,)),
+                      edge_pts)
+    jac_e = jnp.concatenate([khat @ dr_e, khat], axis=-1)
+    res_e = jnp.cross(pe - p1, pe - p2)
+    ok_e = edge_valid & in_e & (cnt_e >= min_points)
+    oef = ok_e[..., None]
+    eb = ResidualBlock(jacobian=jnp.where(oef[..., None], jac_e, 0.0),
+                       residual=jnp.where(oef, res_e, 0.0), valid=ok_e)
+
+    # Surface rows: residual u . p - b, Jacobian [u^T DRpDq | u^T]
+    # (surface.hpp:85-93).
+    u, b, cnt_s = rec_s[..., 0:3], rec_s[..., 3], rec_s[..., 4]
+    dr_s = quat.drpdq(jnp.broadcast_to(pose.q, surf_pts.shape[:-1] + (4,)),
+                      surf_pts)
+    ju = jnp.einsum("...i,...ij->...j", u, dr_s)
+    jac_s = jnp.concatenate([ju, u], axis=-1)[..., None, :]
+    res_s = (jnp.sum(u * ps, axis=-1) - b)[..., None]
+    ok_s = surf_valid & in_s & (cnt_s >= min_points)
+    osf = ok_s[..., None]
+    sb = ResidualBlock(jacobian=jnp.where(osf[..., None], jac_s, 0.0),
+                       residual=jnp.where(osf, res_s, 0.0), valid=ok_s)
+    return eb, sb
+
+
 def edge_rows_from_grid(grid: GeometryGrid, scan_pts, scan_valid,
                         pose: Pose, min_points: int):
     """Point-to-line residual rows with per-iteration grid re-search.

@@ -164,13 +164,11 @@ def make_distributed_pose_graph_optimizer(mesh: Mesh, n_poses: int,
     """jit a mesh-sharded pose-graph GN: poses replicated, constraints
     sharded, Hessian psum over ICI."""
 
-    from jax.experimental.shard_map import shard_map
-
-    @partial(shard_map, mesh=mesh,
+    @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), Constraints(P(axis), P(axis), P(axis), P(axis),
                                         P(axis))),
              out_specs=P(),
-             check_rep=False)
+             check_vma=False)
     def _opt(graph, cons):
         return optimize_pose_graph(graph, cons, axis_name=axis)
 

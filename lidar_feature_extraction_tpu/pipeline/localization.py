@@ -51,10 +51,15 @@ class GeometryMaps(NamedTuple):
     per-voxel line/plane fits are baked at build time, so registration
     re-searches every Gauss-Newton iteration with one 8-float gather
     per point — the reference's per-iteration KD-tree search pattern
-    (optimizer.hpp:85-86) at TPU-native cost."""
+    (optimizer.hpp:85-86) at TPU-native cost.
+
+    ``fused`` is the concatenated edge+surface record table
+    (gg.fuse_record_tables) so each GN iteration needs a single gather
+    launch; None falls back to two per-grid gathers."""
 
     edge: gg.GeometryGrid
     surface: gg.GeometryGrid
+    fused: jnp.ndarray = None
 
 
 def build_feature_maps(edge_xyz, edge_mask, surface_xyz, surface_mask,

@@ -60,11 +60,13 @@ def main():
         def scatter_body(c, cap=cap):
             m, acc = c
             pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+            # Non-selected lanes target index `cap` against a cap-row
+            # buffer: out of bounds, so mode="drop" actually drops them
+            # (no colliding duplicate writes skewing the timing).
             dest = jnp.where(m & (pos < cap), pos, cap)
-            out = jnp.zeros((cap + 1, 3), jnp.float32)
-            out = out.at[dest].set(pts, mode="drop",
-                                   unique_indices=False)
-            return m ^ (acc[0, 0] > 1e30), out[:cap]
+            out = jnp.zeros((cap, 3), jnp.float32)
+            out = out.at[dest].set(pts, mode="drop")
+            return m ^ (acc[0, 0] > 1e30), out
         timeit_fused(f"cumsum+scatter cap={cap}", scatter_body,
                      (base_mask, jnp.zeros((cap, 3))))
 

@@ -132,7 +132,7 @@ def main():
                                        surf_ds_valid, pr,
                                        reg.min_fit_points)
         problem = gn.make_problem([eb, sb])
-        return prior.t + 1e-9 * problem.residual[0], acc + 1
+        return prior.t + 1e-9 * problem.res_rows[0], acc + 1
 
     timeit_fused("    residual rows only", rows_only,
                  (prior.t, jnp.asarray(0, jnp.int32)))

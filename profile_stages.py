@@ -7,7 +7,13 @@ scene and config.
 
 from __future__ import annotations
 
+import os
 import time
+
+# This script profiles the POINT-map path (vg.neighborhood_candidates +
+# per-point fits); force build_scene to build FeatureMaps, not the
+# GeometryMaps default. profile_geom.py covers the geometry-map path.
+os.environ["BENCH_MODE"] = "points"
 
 import numpy as np
 import jax

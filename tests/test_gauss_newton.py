@@ -9,26 +9,11 @@ import jax.numpy as jnp
 from lidar_feature_extraction_tpu.core import quaternion as quat
 from lidar_feature_extraction_tpu.core.pose import Pose
 from lidar_feature_extraction_tpu.ops import gauss_newton as gn
+from lidar_feature_extraction_tpu.ops.alignment import (alignment_problem,
+                                                        align_points)
 from lidar_feature_extraction_tpu.ops.residuals import ResidualBlock
 
 jax.config.update("jax_enable_x64", True)
-
-
-def alignment_problem(src, dst, valid):
-    """Point-to-point alignment: residual T(p) - y, jacobian
-    [DRpDq | I]. Parity: AlignmentProblem (localization/src/
-    alignment.cpp:33-76) — the reference's test fixture."""
-
-    def problem_fn(pose: Pose) -> gn.Problem:
-        n = src.shape[0]
-        r = pose.apply(src) - dst                      # [N, 3]
-        dr = quat.drpdq(jnp.broadcast_to(pose.q, (n, 4)), src)  # [N,3,4]
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), (n, 3, 3))
-        jac = jnp.concatenate([dr, eye], axis=-1)      # [N, 3, 7]
-        block = ResidualBlock(jacobian=jac, residual=r, valid=valid)
-        return gn.make_problem([block])
-
-    return problem_fn
 
 
 def random_pose(rng, angle=0.3, trans=0.5):
@@ -152,3 +137,17 @@ def test_make_m_lifts_quaternion_tangent():
     np.testing.assert_allclose(np.asarray(M[4:, 3:]), np.eye(3), atol=1e-12)
     np.testing.assert_allclose(np.asarray(M[:4, 3:]), 0.0)
     np.testing.assert_allclose(np.asarray(M[4:, :3]), 0.0)
+
+
+def test_align_points_facade():
+    """ops.alignment.align_points recovers a rigid transform end-to-end
+    (the library-level AlignmentProblem entry, alignment.cpp:65-76)."""
+    rng = np.random.default_rng(6)
+    src = jnp.asarray(rng.uniform(-5, 5, size=(32, 3)))
+    true = random_pose(rng)
+    dst = true.apply(src)
+    res = align_points(src, dst, jnp.ones(32, bool),
+                       Pose.identity(jnp.float64))
+    assert int(res.status) == gn.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.pose.apply(src)),
+                               np.asarray(dst), atol=1e-4)
