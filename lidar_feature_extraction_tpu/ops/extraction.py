@@ -329,3 +329,151 @@ def extract_features(image: RangeImage,
         image.xyz, (labels == SURFACE) & image.mask, cfg.max_surfaces)
     return ExtractionResult(labels, curv, edge_xyz, edge_valid,
                             surf_xyz, surf_valid)
+
+
+def _voxel_run_key(xyz: jnp.ndarray, leaf: float) -> jnp.ndarray:
+    """int32 voxel identity hash for run detection (equality of ADJACENT
+    lanes only — a hash collision merely merges two neighboring runs)."""
+    c = jnp.floor(xyz / leaf).astype(jnp.int32)
+    return ((c[..., 0] * 73856093) ^ (c[..., 1] * 19349663)
+            ^ (c[..., 2] * 83492791))
+
+
+def _propagate_from_flag(flag: jnp.ndarray, value: jnp.ndarray,
+                         axis: int) -> jnp.ndarray:
+    """Per lane: the most recent ``value`` at or before it where ``flag``
+    is set (a segmented hold — log-depth associative scan, pure VPU)."""
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        return bf | af, jnp.where(bf[..., None] if bv.ndim > bf.ndim
+                                  else bf, bv, av)
+
+    _, out = jax.lax.associative_scan(combine, (flag, value), axis=axis)
+    return out
+
+
+class CompactFeatures(NamedTuple):
+    """Feature outputs of the single-matmul compaction path.
+
+    edge_xyz:     [R * edges_per_ring, 3]
+    surface_xyz:  [R * surface_runs_per_ring, 3] voxel-run centroids
+    """
+
+    labels: jnp.ndarray
+    curvature: jnp.ndarray
+    edge_xyz: jnp.ndarray
+    edge_valid: jnp.ndarray
+    surface_xyz: jnp.ndarray
+    surface_valid: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg", "edges_per_ring",
+                                   "surface_runs_per_ring"))
+def extract_features_compact(image: RangeImage, cfg: ExtractionConfig,
+                             surface_leaf: float = 1.0,
+                             edges_per_ring: int = 32,
+                             surface_runs_per_ring: int = 64
+                             ) -> CompactFeatures:
+    """Feature extraction with ONE irregular op total.
+
+    The reference pipeline compacts labeled features into dynamic
+    vectors (GetIndicesByValue, lib/algorithm.hpp:41-62) and voxel-
+    downsamples the surface scan at registration time (surface.hpp:111).
+    On this hardware every compaction-style kernel launch (nonzero /
+    sort / scatter / gather) costs ~0.3-2 ms regardless of size, so this
+    path reformulates both steps as dense per-ring algebra finished by a
+    single one-hot matmul:
+
+    - **edges**: per-ring rank by lane order (cumsum of the EDGE mask);
+      the first ``edges_per_ring`` per ring keep their rank as the
+      one-hot column (identical feature set to ``extract_features``
+      whenever no ring overflows the cap — the cap plays the role of
+      the global ``max_edges`` capacity truncation);
+    - **surfaces**: per-ring voxel-RUN centroids. Consecutive
+      SURFACE-labeled lanes sharing a ``surface_leaf`` voxel form a run
+      (detected by adjacent-lane key equality); run sums come from
+      masked cumsums with a log-depth segmented hold; runs are selected
+      STRATIFIED by azimuth rank — floor(rid * cap / n_runs) — so the
+      output keeps even angular coverage when a ring has more runs than
+      ``surface_runs_per_ring``. This replaces the global PCL voxel
+      centroid (ops/downsample.py) in the registration hot path: same
+      1-leaf spatial thinning and same centroid math within a run;
+      voxels revisited by later runs/other rings contribute one point
+      per run instead of being merged (documented deviation,
+      docs/design.md §8; acceptance is ATE parity).
+
+    Both feature classes ride ONE [R, P, ce+cs] one-hot matmul (exact
+    0/1 selection in f32, so values are bit-identical to a gather).
+    """
+    labels, curv = label_range_image(image, cfg)
+    xyz = image.xyz
+    R, P = labels.shape
+    ce, cs = edges_per_ring, surface_runs_per_ring
+    dtype = xyz.dtype
+
+    edge_mask = (labels == EDGE) & image.mask
+    surf_mask = (labels == SURFACE) & image.mask
+
+    # --- edge columns: per-ring rank, capped -----------------------------
+    epos = jnp.cumsum(edge_mask.astype(jnp.int32), axis=-1) - 1
+    ecol = jnp.where(edge_mask & (epos < ce), epos, -1)
+
+    # --- surface runs -----------------------------------------------------
+    key = _voxel_run_key(xyz, surface_leaf)
+    nxt_key = jnp.roll(key, -1, axis=-1)
+    nxt_surf = jnp.concatenate([surf_mask[:, 1:],
+                                jnp.zeros((R, 1), bool)], axis=-1)
+    run_end = surf_mask & (~nxt_surf | (nxt_key != key))
+    prv_surf = jnp.concatenate([jnp.zeros((R, 1), bool),
+                                surf_mask[:, :-1]], axis=-1)
+    prv_key = jnp.roll(key, 1, axis=-1)
+    run_start = surf_mask & (~prv_surf | (prv_key != key))
+
+    cs_xyz = jnp.cumsum(jnp.where(surf_mask[..., None], xyz, 0.0), axis=1)
+    cs_cnt = jnp.cumsum(surf_mask.astype(dtype), axis=1)
+    csum4 = jnp.concatenate([cs_xyz, cs_cnt[..., None]], axis=-1)
+    own4 = jnp.concatenate(
+        [jnp.where(surf_mask[..., None], xyz, 0.0),
+         surf_mask.astype(dtype)[..., None]], axis=-1)
+    base = _propagate_from_flag(run_start, csum4 - own4, axis=1)
+    run_sum4 = csum4 - base                       # valid at run_end lanes
+
+    rid = jnp.cumsum(run_end.astype(jnp.int32), axis=-1) - 1    # [R, P]
+    n_runs = jnp.maximum(rid[:, -1:] + 1, 1)
+    # Stratified pick: column floor(rid * cs / max(n_runs, cs)); take the
+    # first run that lands on each column.
+    denom = jnp.maximum(n_runs, cs)
+    scol_all = (rid * cs) // denom
+    scol_prev = ((rid - 1) * cs) // denom
+    first_on_col = (rid == 0) | (scol_all > scol_prev)
+    scol = jnp.where(run_end & first_on_col, scol_all, -1)
+
+    # --- one fused one-hot matmul ----------------------------------------
+    col = jnp.where(ecol >= 0, ecol,
+                    jnp.where(scol >= 0, ce + scol, ce + cs))
+    onehot = (col[..., None]
+              == jnp.arange(ce + cs)[None, None, :]).astype(dtype)
+    feat = jnp.where(edge_mask[..., None],
+                     jnp.concatenate([xyz, jnp.ones((R, P, 1), dtype)],
+                                     axis=-1),
+                     run_sum4)
+    out = jnp.einsum("rpc,rpf->rcf", onehot, feat,
+                     preferred_element_type=dtype)     # [R, ce+cs, 4]
+
+    eblk = out[:, :ce]
+    sblk = out[:, ce:]
+    edge_valid = eblk[..., 3] > 0.5
+    edge_xyz = jnp.where(edge_valid[..., None], eblk[..., :3], 0.0)
+    s_cnt = sblk[..., 3]
+    surf_valid = s_cnt > 0.5
+    surf_xyz = jnp.where(surf_valid[..., None],
+                         sblk[..., :3] / jnp.maximum(s_cnt[..., None], 1.0),
+                         0.0)
+    return CompactFeatures(
+        labels=labels, curvature=curv,
+        edge_xyz=edge_xyz.reshape(R * ce, 3),
+        edge_valid=edge_valid.reshape(R * ce),
+        surface_xyz=surf_xyz.reshape(R * cs, 3),
+        surface_valid=surf_valid.reshape(R * cs))

@@ -116,12 +116,12 @@ def build_geometry_maps(edge_xyz, edge_mask, surface_xyz, surface_mask,
     e_origin, e_dims = vg.grid_for_bounds(e_lo, e_hi, em.voxel_size)
     s_origin, s_dims = vg.grid_for_bounds(s_lo, s_hi, sm.voxel_size)
 
-    return GeometryMaps(
-        edge=gg.build_edge_geometry_grid(edge_xyz, edge_mask,
-                                         em.voxel_size, e_origin, e_dims),
-        surface=gg.build_surface_geometry_grid(
-            surface_xyz, surface_mask, sm.voxel_size, s_origin, s_dims),
-    )
+    edge = gg.build_edge_geometry_grid(edge_xyz, edge_mask,
+                                       em.voxel_size, e_origin, e_dims)
+    surface = gg.build_surface_geometry_grid(
+        surface_xyz, surface_mask, sm.voxel_size, s_origin, s_dims)
+    return GeometryMaps(edge=edge, surface=surface,
+                        fused=gg.fuse_record_tables(edge, surface))
 
 
 def register_scan_geometry(maps: GeometryMaps, edge_pts, edge_valid,
@@ -139,11 +139,16 @@ def register_scan_geometry(maps: GeometryMaps, edge_pts, edge_valid,
         reg.max_surface_points)
 
     def problem_fn(p: Pose) -> gn.Problem:
-        eb = gg.edge_rows_from_grid(maps.edge, edge_pts, edge_valid, p,
-                                    reg.min_fit_points)
-        sb = gg.surface_rows_from_grid(maps.surface, surf_ds,
-                                       surf_ds_valid, p,
-                                       reg.min_fit_points)
+        if maps.fused is not None:
+            eb, sb = gg.fused_rows_from_grids(
+                maps.edge, maps.surface, maps.fused, edge_pts, edge_valid,
+                surf_ds, surf_ds_valid, p, reg.min_fit_points)
+        else:
+            eb = gg.edge_rows_from_grid(maps.edge, edge_pts, edge_valid,
+                                        p, reg.min_fit_points)
+            sb = gg.surface_rows_from_grid(maps.surface, surf_ds,
+                                           surf_ds_valid, p,
+                                           reg.min_fit_points)
         return gn.make_problem([eb, sb])
 
     return gn.run_gauss_newton(
@@ -326,10 +331,16 @@ class HostLocalizer:
         self._step = jax.jit(step)
 
         def geometry_step(maps, e_pts, e_valid, s_pts, s_valid, pose):
-            eb = gg.edge_rows_from_grid(maps.edge, e_pts, e_valid, pose,
-                                        reg.min_fit_points)
-            sb = gg.surface_rows_from_grid(maps.surface, s_pts, s_valid,
-                                           pose, reg.min_fit_points)
+            if maps.fused is not None:
+                eb, sb = gg.fused_rows_from_grids(
+                    maps.edge, maps.surface, maps.fused, e_pts, e_valid,
+                    s_pts, s_valid, pose, reg.min_fit_points)
+            else:
+                eb = gg.edge_rows_from_grid(maps.edge, e_pts, e_valid,
+                                            pose, reg.min_fit_points)
+                sb = gg.surface_rows_from_grid(maps.surface, s_pts,
+                                               s_valid, pose,
+                                               reg.min_fit_points)
             problem = gn.make_problem([eb, sb])
             return gn.gn_iteration(problem, pose, reg.huber_k,
                                    reg.degeneracy_threshold)
