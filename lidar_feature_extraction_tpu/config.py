@@ -60,6 +60,12 @@ class ExtractionConfig:
     # Fixed capacities for the compacted feature outputs.
     max_edges: int = 4096
     max_surfaces: int = 8192
+    # Per-ring capacities for the single-matmul compaction path
+    # (ops/extraction.py extract_features_compact): edges keep their
+    # per-ring azimuth rank; surfaces come out as voxel-run centroids,
+    # stratified by azimuth when a ring overflows the cap.
+    edges_per_ring: int = 32
+    surface_runs_per_ring: int = 64
 
     @property
     def radian_threshold(self) -> float:
@@ -167,6 +173,13 @@ class ParallelConfig:
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
+    # Use the single-matmul compaction extraction path
+    # (extract_features_compact): feature compaction AND the surface
+    # registration downsample (surface.hpp:111) are fused into dense
+    # per-ring algebra + one one-hot matmul — the surface features come
+    # out already voxel-thinned at registration's downsample leaf.
+    # Only affects the GeometryMaps registration path.
+    compact_extraction: bool = False
     extraction: ExtractionConfig = dataclasses.field(
         default_factory=ExtractionConfig)
     registration: RegistrationConfig = dataclasses.field(
@@ -183,6 +196,7 @@ def kitti_hdl64() -> PipelineConfig:
     edge_threshold=50, max_range=1000; surface_threshold keeps the code
     default 0.05)."""
     return PipelineConfig(
+        compact_extraction=True,
         extraction=ExtractionConfig(
             n_rings=64, max_points_per_ring=2304,
             padding=2, neighbor_degree_threshold=3.0,

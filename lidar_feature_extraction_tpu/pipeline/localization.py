@@ -32,7 +32,8 @@ from lidar_feature_extraction_tpu.core.pose import Pose
 from lidar_feature_extraction_tpu.core.scan import RangeImage
 from lidar_feature_extraction_tpu.ops import gauss_newton as gn
 from lidar_feature_extraction_tpu.ops.downsample import voxel_downsample
-from lidar_feature_extraction_tpu.ops.extraction import extract_features
+from lidar_feature_extraction_tpu.ops.extraction import (
+    extract_features, extract_features_compact)
 from lidar_feature_extraction_tpu.ops.residuals import (
     edge_residuals_from_candidates, surface_residuals_from_candidates,
     fit_edge_geometry, fit_surface_geometry,
@@ -126,17 +127,23 @@ def build_geometry_maps(edge_xyz, edge_mask, surface_xyz, surface_mask,
 
 def register_scan_geometry(maps: GeometryMaps, edge_pts, edge_valid,
                            surf_pts, surf_valid, prior: Pose,
-                           cfg: PipelineConfig) -> gn.GNResult:
+                           cfg: PipelineConfig,
+                           pre_downsampled: bool = False) -> gn.GNResult:
     """Gauss-Newton registration against precomputed-geometry maps.
 
     The per-point correspondence (voxel lookup) is re-done EVERY
     iteration — cheap enough that the reference's per-iteration
     re-search semantics come back for free; no candidate caching, no
-    search rounds."""
+    search rounds. ``pre_downsampled`` skips the surface voxel
+    downsample (surface.hpp:111) when the extraction path already
+    voxel-thinned the surface features (extract_features_compact)."""
     reg = cfg.registration
-    surf_ds, surf_ds_valid = voxel_downsample(
-        surf_pts, surf_valid, reg.surface_downsample_leaf,
-        reg.max_surface_points)
+    if pre_downsampled:
+        surf_ds, surf_ds_valid = surf_pts, surf_valid
+    else:
+        surf_ds, surf_ds_valid = voxel_downsample(
+            surf_pts, surf_valid, reg.surface_downsample_leaf,
+            reg.max_surface_points)
 
     def problem_fn(p: Pose) -> gn.Problem:
         if maps.fused is not None:
@@ -253,6 +260,17 @@ def localize_scan(maps: FeatureMaps, image: RangeImage, prior: Pose,
     the remote TPU compiler takes minutes for the fused while_loop but
     seconds for its pieces, and host stepping adds only ~0.2 ms/iter.
     """
+    if cfg.compact_extraction and isinstance(maps, GeometryMaps):
+        feats = extract_features_compact(
+            image, cfg.extraction,
+            surface_leaf=cfg.registration.surface_downsample_leaf,
+            edges_per_ring=cfg.extraction.edges_per_ring,
+            surface_runs_per_ring=cfg.extraction.surface_runs_per_ring)
+        result = register_scan_geometry(
+            maps, feats.edge_xyz, feats.edge_valid,
+            feats.surface_xyz, feats.surface_valid, prior, cfg,
+            pre_downsampled=True)
+        return result, feats
     feats = extract_features(image, cfg.extraction)
     register = (register_scan_geometry
                 if isinstance(maps, GeometryMaps) else register_scan)
@@ -278,8 +296,17 @@ class HostLocalizer:
         self.cfg = cfg
         reg = cfg.registration
 
-        self._extract = jax.jit(
-            lambda image: extract_features(image, cfg.extraction))
+        self._compact = (cfg.compact_extraction
+                         and isinstance(maps, GeometryMaps))
+        if self._compact:
+            self._extract = jax.jit(lambda image: extract_features_compact(
+                image, cfg.extraction,
+                surface_leaf=reg.surface_downsample_leaf,
+                edges_per_ring=cfg.extraction.edges_per_ring,
+                surface_runs_per_ring=cfg.extraction.surface_runs_per_ring))
+        else:
+            self._extract = jax.jit(
+                lambda image: extract_features(image, cfg.extraction))
         self._downsample = jax.jit(
             lambda pts, valid: voxel_downsample(
                 pts, valid, reg.surface_downsample_leaf,
@@ -351,7 +378,12 @@ class HostLocalizer:
                  prior: Pose) -> gn.GNResult:
         reg = self.cfg.registration
         if isinstance(self.maps, GeometryMaps):
-            surf_ds, surf_ds_valid = self._downsample(surf_pts, surf_valid)
+            if self._compact:
+                # Compact extraction already voxel-thinned the surfaces.
+                surf_ds, surf_ds_valid = surf_pts, surf_valid
+            else:
+                surf_ds, surf_ds_valid = self._downsample(surf_pts,
+                                                          surf_valid)
 
             def step_fn(p):
                 return self._geometry_step(self.maps, edge_pts, edge_valid,

@@ -263,3 +263,108 @@ def test_nms_random_integer_curvatures_with_duplicates(seed):
     want = _nms_oracle(curvature, nb, n, cfg)
     got = _nms_device(curvature, nb, n, cfg)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# extract_features_compact: the single-matmul compaction path
+# ---------------------------------------------------------------------------
+
+def _multi_ring_image(rng, n_rings=4, max_pts=512):
+    rings = [make_synthetic_ring(rng, int(rng.integers(60, 450)))
+             for _ in range(n_rings)]
+    xyz = np.zeros((n_rings, max_pts, 3))
+    mask = np.zeros((n_rings, max_pts), bool)
+    count = np.zeros(n_rings, np.int32)
+    for i, ring in enumerate(rings):
+        xyz[i, :len(ring)] = ring
+        mask[i, :len(ring)] = True
+        count[i] = len(ring)
+    return RangeImage(jnp.asarray(xyz), jnp.asarray(mask),
+                      jnp.asarray(count))
+
+
+def _voxel_run_key_np(xyz, leaf):
+    c = np.floor(xyz / leaf).astype(np.int32)
+    return ((c[..., 0] * np.int32(73856093))
+            ^ (c[..., 1] * np.int32(19349663))
+            ^ (c[..., 2] * np.int32(83492791)))
+
+
+def _compact_oracle(xyz, mask, labels, leaf, ce, cs):
+    """Sequential oracle of the documented compact semantics."""
+    R, P = labels.shape
+    edge = np.zeros((R, ce, 3))
+    edge_ok = np.zeros((R, ce), bool)
+    surf = np.zeros((R, cs, 3))
+    surf_ok = np.zeros((R, cs), bool)
+    key = _voxel_run_key_np(xyz, leaf)
+    for r in range(R):
+        e = 0
+        runs = []       # list of (sum_xyz, count)
+        prev_in_run = False
+        for p in range(P):
+            if mask[r, p] and labels[r, p] == np_ref.EDGE and e < ce:
+                edge[r, e] = xyz[r, p]
+                edge_ok[r, e] = True
+                e += 1
+            in_surf = mask[r, p] and labels[r, p] == np_ref.SURFACE
+            if in_surf:
+                if prev_in_run and key[r, p] == key[r, p - 1]:
+                    runs[-1][0] += xyz[r, p]
+                    runs[-1][1] += 1
+                else:
+                    runs.append([xyz[r, p].copy(), 1])
+            prev_in_run = in_surf
+        n_runs = max(len(runs), 1)
+        denom = max(n_runs, cs)
+        prev_col = -1
+        for rid, (s, n) in enumerate(runs):
+            col = (rid * cs) // denom
+            if col > prev_col:
+                surf[r, col] = s / n
+                surf_ok[r, col] = True
+                prev_col = col
+    return edge, edge_ok, surf, surf_ok
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_extract_features_compact_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    cfg = ExtractionConfig(n_rings=4, max_points_per_ring=512,
+                           nms_rounds=96, surface_threshold=0.3)
+    img = _multi_ring_image(rng, 4, 512)
+    leaf, ce, cs = 1.0, 16, 24
+    res = ex.extract_features_compact(img, cfg, surface_leaf=leaf,
+                                      edges_per_ring=ce,
+                                      surface_runs_per_ring=cs)
+    labels = np.asarray(res.labels)
+    mask = np.asarray(img.mask)
+    e, eok, s, sok = _compact_oracle(np.asarray(img.xyz), mask, labels,
+                                     leaf, ce, cs)
+    np.testing.assert_array_equal(
+        np.asarray(res.edge_valid).reshape(4, ce), eok)
+    np.testing.assert_allclose(
+        np.asarray(res.edge_xyz).reshape(4, ce, 3), e, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(res.surface_valid).reshape(4, cs), sok)
+    np.testing.assert_allclose(
+        np.asarray(res.surface_xyz).reshape(4, cs, 3), s, atol=1e-5)
+
+
+def test_extract_features_compact_edges_match_standard_path():
+    """With no per-ring overflow, the compact edge set equals the
+    standard path's compacted edge set (as point sets)."""
+    rng = np.random.default_rng(11)
+    cfg = ExtractionConfig(n_rings=4, max_points_per_ring=512,
+                           nms_rounds=96)
+    img = _multi_ring_image(rng, 4, 512)
+    std = ex.extract_features(img, cfg)
+    cmp_ = ex.extract_features_compact(img, cfg, surface_leaf=1.0,
+                                       edges_per_ring=128,
+                                       surface_runs_per_ring=16)
+    want = np.asarray(std.edge_xyz)[np.asarray(std.edge_valid)]
+    got = np.asarray(cmp_.edge_xyz)[np.asarray(cmp_.edge_valid)]
+    assert len(want) == len(got)
+    order_w = np.lexsort(want.T)
+    order_g = np.lexsort(got.T)
+    np.testing.assert_allclose(got[order_g], want[order_w], atol=1e-6)
