@@ -138,5 +138,92 @@ def main():
                  (prior.t, jnp.asarray(0, jnp.int32)))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("PROFILE_COMPACT"):
     main()
+
+
+def profile_compact():
+    """Stage timings for the compact-extraction hot path."""
+    from lidar_feature_extraction_tpu.ops.extraction import (
+        extract_features_compact)
+
+    cfg = kitti_hdl64()
+    reg = cfg.registration
+    rng = np.random.default_rng(0)
+    maps, image = build_scene(cfg, rng)
+    prior = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                 t=jnp.asarray([0.3, -0.2, 0.05], jnp.float32))
+
+    def cmp_body(c):
+        im, acc = c
+        f = extract_features_compact(
+            im, cfg.extraction, surface_leaf=reg.surface_downsample_leaf,
+            edges_per_ring=cfg.extraction.edges_per_ring,
+            surface_runs_per_ring=cfg.extraction.surface_runs_per_ring)
+        return im._replace(xyz=image.xyz + 1e-9 * acc), \
+            acc + f.curvature[0, 0] + f.edge_xyz[0, 0]
+
+    timeit_fused("extract_features_compact", cmp_body,
+                 (image, jnp.float32(0)))
+
+    feats = jax.jit(lambda im: extract_features_compact(
+        im, cfg.extraction, surface_leaf=reg.surface_downsample_leaf,
+        edges_per_ring=cfg.extraction.edges_per_ring,
+        surface_runs_per_ring=cfg.extraction.surface_runs_per_ring))(image)
+    jax.block_until_ready(feats.edge_xyz)
+
+    def reg_body(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        result = register_scan_geometry(
+            maps, feats.edge_xyz, feats.edge_valid,
+            feats.surface_xyz, feats.surface_valid, pr, cfg,
+            pre_downsampled=True)
+        return prior.t + 1e-6 * result.pose.t, acc + result.iterations
+
+    out = timeit_fused("register (pre-downsampled, all iters)", reg_body,
+                       (prior.t, jnp.asarray(0, jnp.int32)))
+    print(f"  ({float(out[1]) / N:.1f} GN iters/scan)")
+
+    def rows_body(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        eb, sb = gg.fused_rows_from_grids(
+            maps.edge, maps.surface, maps.fused, feats.edge_xyz,
+            feats.edge_valid, feats.surface_xyz, feats.surface_valid,
+            pr, reg.min_fit_points)
+        problem = gn.make_problem([eb, sb])
+        step = gn.gn_iteration(problem, pr, reg.huber_k,
+                               reg.degeneracy_threshold)
+        return prior.t + 1e-6 * step.pose.t, acc + 1
+
+    timeit_fused("  one GN iteration (fused rows+solve)", rows_body,
+                 (prior.t, jnp.asarray(0, jnp.int32)))
+
+    def gather_only(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        eb, sb = gg.fused_rows_from_grids(
+            maps.edge, maps.surface, maps.fused, feats.edge_xyz,
+            feats.edge_valid, feats.surface_xyz, feats.surface_valid,
+            pr, reg.min_fit_points)
+        return prior.t + 1e-9 * sb.residual[0, 0], acc + 1
+
+    timeit_fused("    fused rows only", gather_only,
+                 (prior.t, jnp.asarray(0, jnp.int32)))
+
+    from lidar_feature_extraction_tpu.ops.extraction import (
+        label_range_image as lri, curvature_kernel)
+
+    def curv_body(c):
+        im, acc = c
+        r = jnp.where(im.mask, jnp.hypot(im.xyz[..., 0], im.xyz[..., 1]),
+                      0.0)
+        cv = curvature_kernel(r, im.count, cfg.extraction.padding)
+        return im._replace(xyz=image.xyz + 1e-9 * acc), acc + cv[0, 0]
+
+    timeit_fused("  curvature only", curv_body, (image, jnp.float32(0)))
+
+
+if __name__ == "__main__" and os.environ.get("PROFILE_COMPACT"):
+    profile_compact()
