@@ -115,7 +115,7 @@ def main():
     # like a real sequential replay) — otherwise XLA hoists the entire
     # loop-invariant pipeline out of the fori_loop and the benchmark
     # measures nothing.
-    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "200"))
 
     def bench_loop(maps, image, prior):
         def body(i, carry):
@@ -133,10 +133,19 @@ def main():
     out = step(maps, image, prior)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    out = step(maps, image, prior)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # Best-of-5: the tunnel adds a flat ~25 ms round trip per UNIQUE
+    # dispatch and serves repeated identical (program, args) calls from
+    # a cache — so each sample must chain the previous output into its
+    # input (a real execution every time), and n_iters is high enough
+    # (default 200) that the round trip is <3% of the total.
+    dt = float("inf")
+    pr = prior
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = step(maps, image, pr)
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
+        pr = Pose(q=prior.q, t=prior.t + 1e-9 * out[1])
     scans_per_sec = n_iters / dt
     print(f"note: {float(out[0]) / n_iters:.1f} GN iterations/scan, "
           f"{1000 * dt / n_iters:.2f} ms/scan", file=sys.stderr)

@@ -37,10 +37,14 @@ def timeit_fused(name, body, init, n=N):
 
     out = prog(init)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = prog(init)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+    # Best-of-3, chaining outputs: the tunnel adds ~25 ms per unique
+    # dispatch and dedupes repeated identical ones.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = prog(out)
+        jax.block_until_ready(out)
+        dt = min(dt, (time.perf_counter() - t0) / n)
     print(f"{name:44s} {1000 * dt:8.3f} ms/iter", flush=True)
     return out
 
