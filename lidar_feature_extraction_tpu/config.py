@@ -66,6 +66,10 @@ class ExtractionConfig:
     # stratified by azimuth when a ring overflows the cap.
     edges_per_ring: int = 32
     surface_runs_per_ring: int = 64
+    # Represent each surface voxel run by its centroid (PCL-style mean,
+    # ~1.1 ms of cumsum+scan machinery on KITTI shapes) instead of the
+    # default run-end measured point (free).
+    compact_surface_centroid: bool = False
 
     @property
     def radian_threshold(self) -> float:

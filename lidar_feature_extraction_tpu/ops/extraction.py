@@ -358,7 +358,9 @@ class CompactFeatures(NamedTuple):
     """Feature outputs of the single-matmul compaction path.
 
     edge_xyz:     [R * edges_per_ring, 3]
-    surface_xyz:  [R * surface_runs_per_ring, 3] voxel-run centroids
+    surface_xyz:  [R * surface_runs_per_ring, 3] one point per voxel run
+                  (run-end sample, or run centroid when
+                  ``surface_centroid=True``)
     """
 
     labels: jnp.ndarray
@@ -370,11 +372,13 @@ class CompactFeatures(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("cfg", "edges_per_ring",
-                                   "surface_runs_per_ring"))
+                                   "surface_runs_per_ring",
+                                   "surface_centroid"))
 def extract_features_compact(image: RangeImage, cfg: ExtractionConfig,
                              surface_leaf: float = 1.0,
                              edges_per_ring: int = 32,
-                             surface_runs_per_ring: int = 64
+                             surface_runs_per_ring: int = 64,
+                             surface_centroid: bool = False
                              ) -> CompactFeatures:
     """Feature extraction with ONE irregular op total.
 
@@ -391,18 +395,21 @@ def extract_features_compact(image: RangeImage, cfg: ExtractionConfig,
       one-hot column (identical feature set to ``extract_features``
       whenever no ring overflows the cap — the cap plays the role of
       the global ``max_edges`` capacity truncation);
-    - **surfaces**: per-ring voxel-RUN centroids. Consecutive
+    - **surfaces**: one point per per-ring voxel RUN. Consecutive
       SURFACE-labeled lanes sharing a ``surface_leaf`` voxel form a run
-      (detected by adjacent-lane key equality); run sums come from
-      masked cumsums with a log-depth segmented hold; runs are selected
+      (detected by adjacent-lane key equality); runs are selected
       STRATIFIED by azimuth rank — floor(rid * cap / n_runs) — so the
       output keeps even angular coverage when a ring has more runs than
       ``surface_runs_per_ring``. This replaces the global PCL voxel
-      centroid (ops/downsample.py) in the registration hot path: same
-      1-leaf spatial thinning and same centroid math within a run;
-      voxels revisited by later runs/other rings contribute one point
-      per run instead of being merged (documented deviation,
-      docs/design.md §8; acceptance is ATE parity).
+      centroid (ops/downsample.py) in the registration hot path: the
+      same 1-leaf spatial thinning, represented by the run-END measured
+      point (``surface_centroid=False``, default — a real surface
+      sample, no scan machinery) or the run centroid
+      (``surface_centroid=True`` — the PCL-style mean, paid for with a
+      masked cumsum + log-depth segmented hold, measured ~1.1 ms on
+      KITTI shapes). Voxels revisited by later runs/other rings
+      contribute one point per run instead of being merged (documented
+      deviation, docs/design.md §8; acceptance is ATE parity).
 
     Both feature classes ride ONE [R, P, ce+cs] one-hot matmul (exact
     0/1 selection in f32, so values are bit-identical to a gather).
@@ -426,19 +433,26 @@ def extract_features_compact(image: RangeImage, cfg: ExtractionConfig,
     nxt_surf = jnp.concatenate([surf_mask[:, 1:],
                                 jnp.zeros((R, 1), bool)], axis=-1)
     run_end = surf_mask & (~nxt_surf | (nxt_key != key))
-    prv_surf = jnp.concatenate([jnp.zeros((R, 1), bool),
-                                surf_mask[:, :-1]], axis=-1)
-    prv_key = jnp.roll(key, 1, axis=-1)
-    run_start = surf_mask & (~prv_surf | (prv_key != key))
 
-    cs_xyz = jnp.cumsum(jnp.where(surf_mask[..., None], xyz, 0.0), axis=1)
-    cs_cnt = jnp.cumsum(surf_mask.astype(dtype), axis=1)
-    csum4 = jnp.concatenate([cs_xyz, cs_cnt[..., None]], axis=-1)
-    own4 = jnp.concatenate(
-        [jnp.where(surf_mask[..., None], xyz, 0.0),
-         surf_mask.astype(dtype)[..., None]], axis=-1)
-    base = _propagate_from_flag(run_start, csum4 - own4, axis=1)
-    run_sum4 = csum4 - base                       # valid at run_end lanes
+    if surface_centroid:
+        prv_surf = jnp.concatenate([jnp.zeros((R, 1), bool),
+                                    surf_mask[:, :-1]], axis=-1)
+        prv_key = jnp.roll(key, 1, axis=-1)
+        run_start = surf_mask & (~prv_surf | (prv_key != key))
+
+        cs_xyz = jnp.cumsum(jnp.where(surf_mask[..., None], xyz, 0.0),
+                            axis=1)
+        cs_cnt = jnp.cumsum(surf_mask.astype(dtype), axis=1)
+        csum4 = jnp.concatenate([cs_xyz, cs_cnt[..., None]], axis=-1)
+        own4 = jnp.concatenate(
+            [jnp.where(surf_mask[..., None], xyz, 0.0),
+             surf_mask.astype(dtype)[..., None]], axis=-1)
+        base = _propagate_from_flag(run_start, csum4 - own4, axis=1)
+        run_sum4 = csum4 - base               # valid at run_end lanes
+    else:
+        # Run-end representative point: [xyz, 1] — count 1 per run.
+        run_sum4 = jnp.concatenate([xyz, jnp.ones((R, P, 1), dtype)],
+                                   axis=-1)
 
     rid = jnp.cumsum(run_end.astype(jnp.int32), axis=-1) - 1    # [R, P]
     n_runs = jnp.maximum(rid[:, -1:] + 1, 1)
@@ -455,10 +469,13 @@ def extract_features_compact(image: RangeImage, cfg: ExtractionConfig,
                     jnp.where(scol >= 0, ce + scol, ce + cs))
     onehot = (col[..., None]
               == jnp.arange(ce + cs)[None, None, :]).astype(dtype)
-    feat = jnp.where(edge_mask[..., None],
-                     jnp.concatenate([xyz, jnp.ones((R, P, 1), dtype)],
-                                     axis=-1),
-                     run_sum4)
+    if surface_centroid:
+        feat = jnp.where(edge_mask[..., None],
+                         jnp.concatenate([xyz, jnp.ones((R, P, 1), dtype)],
+                                         axis=-1),
+                         run_sum4)
+    else:
+        feat = run_sum4          # [xyz, 1] for edges and surfaces alike
     out = jnp.einsum("rpc,rpf->rcf", onehot, feat,
                      preferred_element_type=dtype)     # [R, ce+cs, 4]
 

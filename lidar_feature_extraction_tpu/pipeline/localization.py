@@ -265,7 +265,8 @@ def localize_scan(maps: FeatureMaps, image: RangeImage, prior: Pose,
             image, cfg.extraction,
             surface_leaf=cfg.registration.surface_downsample_leaf,
             edges_per_ring=cfg.extraction.edges_per_ring,
-            surface_runs_per_ring=cfg.extraction.surface_runs_per_ring)
+            surface_runs_per_ring=cfg.extraction.surface_runs_per_ring,
+            surface_centroid=cfg.extraction.compact_surface_centroid)
         result = register_scan_geometry(
             maps, feats.edge_xyz, feats.edge_valid,
             feats.surface_xyz, feats.surface_valid, prior, cfg,
@@ -303,7 +304,8 @@ class HostLocalizer:
                 image, cfg.extraction,
                 surface_leaf=reg.surface_downsample_leaf,
                 edges_per_ring=cfg.extraction.edges_per_ring,
-                surface_runs_per_ring=cfg.extraction.surface_runs_per_ring))
+                surface_runs_per_ring=cfg.extraction.surface_runs_per_ring,
+                surface_centroid=cfg.extraction.compact_surface_centroid))
         else:
             self._extract = jax.jit(
                 lambda image: extract_features(image, cfg.extraction))

@@ -290,7 +290,7 @@ def _voxel_run_key_np(xyz, leaf):
             ^ (c[..., 2] * np.int32(83492791)))
 
 
-def _compact_oracle(xyz, mask, labels, leaf, ce, cs):
+def _compact_oracle(xyz, mask, labels, leaf, ce, cs, centroid):
     """Sequential oracle of the documented compact semantics."""
     R, P = labels.shape
     edge = np.zeros((R, ce, 3))
@@ -300,7 +300,7 @@ def _compact_oracle(xyz, mask, labels, leaf, ce, cs):
     key = _voxel_run_key_np(xyz, leaf)
     for r in range(R):
         e = 0
-        runs = []       # list of (sum_xyz, count)
+        runs = []       # list of [sum_xyz, count, last_xyz]
         prev_in_run = False
         for p in range(P):
             if mask[r, p] and labels[r, p] == np_ref.EDGE and e < ce:
@@ -312,23 +312,25 @@ def _compact_oracle(xyz, mask, labels, leaf, ce, cs):
                 if prev_in_run and key[r, p] == key[r, p - 1]:
                     runs[-1][0] += xyz[r, p]
                     runs[-1][1] += 1
+                    runs[-1][2] = xyz[r, p]
                 else:
-                    runs.append([xyz[r, p].copy(), 1])
+                    runs.append([xyz[r, p].copy(), 1, xyz[r, p]])
             prev_in_run = in_surf
         n_runs = max(len(runs), 1)
         denom = max(n_runs, cs)
         prev_col = -1
-        for rid, (s, n) in enumerate(runs):
+        for rid, (s, n, last) in enumerate(runs):
             col = (rid * cs) // denom
             if col > prev_col:
-                surf[r, col] = s / n
+                surf[r, col] = s / n if centroid else last
                 surf_ok[r, col] = True
                 prev_col = col
     return edge, edge_ok, surf, surf_ok
 
 
-@pytest.mark.parametrize("seed", range(4))
-def test_extract_features_compact_matches_oracle(seed):
+@pytest.mark.parametrize("seed,centroid", [(0, True), (1, True),
+                                           (2, False), (3, False)])
+def test_extract_features_compact_matches_oracle(seed, centroid):
     rng = np.random.default_rng(seed)
     cfg = ExtractionConfig(n_rings=4, max_points_per_ring=512,
                            nms_rounds=96, surface_threshold=0.3)
@@ -336,11 +338,12 @@ def test_extract_features_compact_matches_oracle(seed):
     leaf, ce, cs = 1.0, 16, 24
     res = ex.extract_features_compact(img, cfg, surface_leaf=leaf,
                                       edges_per_ring=ce,
-                                      surface_runs_per_ring=cs)
+                                      surface_runs_per_ring=cs,
+                                      surface_centroid=centroid)
     labels = np.asarray(res.labels)
     mask = np.asarray(img.mask)
     e, eok, s, sok = _compact_oracle(np.asarray(img.xyz), mask, labels,
-                                     leaf, ce, cs)
+                                     leaf, ce, cs, centroid)
     np.testing.assert_array_equal(
         np.asarray(res.edge_valid).reshape(4, ce), eok)
     np.testing.assert_allclose(
