@@ -111,3 +111,95 @@ def onehot_mm_dotgen(c):
 
 timeit("  one-hot einsum (bf16 onehot->f32)", onehot_mm_dotgen,
        (col0, jnp.float32(0)))
+
+
+# --- registration side (run after the extraction stages above) --------
+def registration_stages():
+    from lidar_feature_extraction_tpu.core.pose import Pose
+    from lidar_feature_extraction_tpu.ops import gauss_newton as gn
+    from lidar_feature_extraction_tpu.ops import geometry_grid as gg
+    from bench import build_scene as _bs
+    from lidar_feature_extraction_tpu.pipeline.localization import (
+        register_scan_geometry, localize_scan)
+
+    maps, _ = _bs(cfg, np.random.default_rng(0))
+    reg = cfg.registration
+    prior = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                 t=jnp.asarray([0.3, -0.2, 0.05], jnp.float32))
+    feats = jax.jit(lambda im: ex.extract_features_compact(
+        im, exc, surface_leaf=leaf, edges_per_ring=ce,
+        surface_runs_per_ring=cs))(image)
+    jax.block_until_ready(feats.edge_xyz)
+
+    def full(c):
+        im, t = c
+        im2 = im._replace(xyz=image.xyz + 1e-3 * t[None, None, :])
+        pr = Pose(q=prior.q, t=prior.t + 1e-3 * t)
+        result, _f = localize_scan(maps, im2, pr, cfg)
+        return im2, result.pose.t
+
+    timeit("FULL localize_scan (compact)", full, (image, prior.t))
+
+    def reg_body(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        result = register_scan_geometry(
+            maps, feats.edge_xyz, feats.edge_valid,
+            feats.surface_xyz, feats.surface_valid, pr, cfg,
+            pre_downsampled=True)
+        return prior.t + 1e-6 * result.pose.t, acc + result.iterations
+
+    out = timeit("register (all iters)", reg_body,
+                 (prior.t, jnp.asarray(0, jnp.int32)))
+    print(f"  ({float(out[1]) / N:.1f} GN iters/scan)", flush=True)
+
+    def one_iter(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        eb, sb = gg.fused_rows_from_grids(
+            maps.edge, maps.surface, maps.fused, feats.edge_xyz,
+            feats.edge_valid, feats.surface_xyz, feats.surface_valid,
+            pr, reg.min_fit_points)
+        problem = gn.make_problem([eb, sb])
+        step = gn.gn_iteration(problem, pr, reg.huber_k,
+                               reg.degeneracy_threshold)
+        return prior.t + 1e-6 * step.pose.t, acc + 1
+
+    timeit("  one GN iteration (rows+solve)", one_iter,
+           (prior.t, jnp.asarray(0, jnp.int32)))
+
+    def rows_only(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        eb, sb = gg.fused_rows_from_grids(
+            maps.edge, maps.surface, maps.fused, feats.edge_xyz,
+            feats.edge_valid, feats.surface_xyz, feats.surface_valid,
+            pr, reg.min_fit_points)
+        return prior.t + 1e-9 * sb.residual[0, 0] + 1e-9 * eb.residual[
+            0, 0], acc + 1
+
+    timeit("    fused rows only", rows_only,
+           (prior.t, jnp.asarray(0, jnp.int32)))
+
+    def gather_only(c):
+        pr_t, acc = c
+        pr = Pose(q=prior.q, t=pr_t)
+        pe = pr.apply(feats.edge_xyz)
+        ps = pr.apply(feats.surface_xyz)
+        cells_e = gg._ravel(gg._cell_of(pe, maps.edge.voxel_size,
+                                        maps.edge.origin), maps.edge.dims)
+        cells_s = gg._ravel(gg._cell_of(ps, maps.surface.voxel_size,
+                                        maps.surface.origin),
+                            maps.surface.dims)
+        idx = jnp.concatenate([jnp.minimum(cells_e, maps.edge.capacity),
+                               maps.edge.capacity + jnp.minimum(
+                                   cells_s, maps.surface.capacity)])
+        rec = maps.fused[idx]
+        return prior.t + 1e-9 * rec[0, 0], acc + 1
+
+    timeit("      transform+cells+gather only", gather_only,
+           (prior.t, jnp.asarray(0, jnp.int32)))
+
+
+if os.environ.get("PROFILE_REG"):
+    registration_stages()
