@@ -70,6 +70,10 @@ class ExtractionConfig:
     # ~1.1 ms of cumsum+scan machinery on KITTI shapes) instead of the
     # default run-end measured point (free).
     compact_surface_centroid: bool = False
+    # Run labeling + compaction columns as one fused Pallas kernel
+    # (ops/extraction_pallas.py) when on TPU; identical results to the
+    # XLA path by shared code. Ignored off-TPU and in centroid mode.
+    pallas_labeling: bool = True
 
     @property
     def radian_threshold(self) -> float:

@@ -73,9 +73,29 @@ def curvature_kernel(rng: jnp.ndarray, count: jnp.ndarray,
     acc = -2.0 * p * rng
     for k in range(1, p + 1):
         acc = acc + jnp.roll(rng, k, axis=-1) + jnp.roll(rng, -k, axis=-1)
-    idx = jnp.arange(rng.shape[-1])
-    interior = (idx >= p) & (idx < count[:, None] - p)
+    idx = jax.lax.broadcasted_iota(jnp.int32, rng.shape, rng.ndim - 1)
+    interior = (idx >= p) & (idx < jnp.reshape(count, (-1, 1)) - p)
     return jnp.where(interior, acc * acc, 0.0)
+
+
+def neighbor_flags_xy(x: jnp.ndarray, y: jnp.ndarray, count: jnp.ndarray,
+                      radian_threshold: float) -> jnp.ndarray:
+    """Plane-based ``neighbor_flags`` over x/y coordinate planes [R, P]
+    (``count`` broadcasts as [R, 1]).
+
+    The reference compares acos(cos) < threshold (math.cpp:34-49); cos
+    is strictly decreasing on [0, pi], so this compares
+    cos(angle) > cos(threshold) instead — the same predicate without
+    the transcendental (which Mosaic does not lower)."""
+    import math
+
+    xn, yn = jnp.roll(x, -1, axis=-1), jnp.roll(y, -1, axis=-1)
+    dot = x * xn + y * yn
+    norm = jnp.sqrt(x * x + y * y) * jnp.sqrt(xn * xn + yn * yn)
+    cosang = jnp.clip(dot / jnp.maximum(norm, 1e-30), -1.0, 1.0)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    has_next = idx < jnp.reshape(count, (-1, 1)) - 1
+    return (cosang > math.cos(radian_threshold)) & has_next
 
 
 def neighbor_flags(xyz: jnp.ndarray, count: jnp.ndarray,
@@ -85,15 +105,28 @@ def neighbor_flags(xyz: jnp.ndarray, count: jnp.ndarray,
     CalcRadian = acos(dot / (|a||b|)) on XY (math.cpp:34-49).
     nb is False at i >= count-1 (no successor).
     """
-    x, y = xyz[..., 0], xyz[..., 1]
-    xn, yn = jnp.roll(x, -1, axis=-1), jnp.roll(y, -1, axis=-1)
-    dot = x * xn + y * yn
-    norm = jnp.sqrt(x * x + y * y) * jnp.sqrt(xn * xn + yn * yn)
-    cosang = jnp.clip(dot / jnp.maximum(norm, 1e-30), -1.0, 1.0)
-    angle = jnp.arccos(cosang)
-    idx = jnp.arange(x.shape[-1])
-    has_next = idx < count[:, None] - 1
-    return (angle < radian_threshold) & has_next
+    return neighbor_flags_xy(xyz[..., 0], xyz[..., 1], count,
+                             radian_threshold)
+
+
+def _cumsum_lanes(a: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the last axis as log-depth lane shifts
+    (Hillis-Steele). Used instead of ``jnp.cumsum`` in code shared with
+    the Pallas kernel — Mosaic has no cumsum lowering; XLA's own TPU
+    lowering of cumsum is the same shift ladder."""
+    P = a.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    d = 1
+    while d < P:
+        a = a + jnp.where(idx >= d, jnp.roll(a, d, axis=-1), 0)
+        d *= 2
+    return a
+
+
+def _roll_bool(a: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Lane roll of a boolean mask via int32 (Mosaic cannot roll i1
+    vector registers)."""
+    return jnp.roll(a.astype(jnp.int32), shift, axis=-1) == 1
 
 
 def gap_prefix(nb: jnp.ndarray) -> jnp.ndarray:
@@ -101,8 +134,9 @@ def gap_prefix(nb: jnp.ndarray) -> jnp.ndarray:
     Two lanes i <= j are connected (every consecutive pair between them
     passes the neighbor check) iff G[i] == G[j]."""
     gaps = (~nb).astype(jnp.int32)
-    g = jnp.cumsum(gaps, axis=-1)
-    return jnp.concatenate([jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1)
+    g = _cumsum_lanes(gaps)
+    idx = jax.lax.broadcasted_iota(jnp.int32, g.shape, g.ndim - 1)
+    return jnp.where(idx >= 1, jnp.roll(g, 1, axis=-1), 0)
 
 
 def block_ids(count: jnp.ndarray, n_points: int, padding: int,
@@ -115,13 +149,19 @@ def block_ids(count: jnp.ndarray, n_points: int, padding: int,
     n - 2*padding < n_blocks produce no blocks (the reference throws and
     skips the ring, index_range.cpp:35-42 + feature_extraction.cpp:154).
     """
-    j = jnp.arange(n_blocks + 1)
-    n = count[:, None]
-    bounds = (padding * (n_blocks - j) + (n - padding) * j) // n_blocks
-    idx = jnp.arange(n_points)[None, :, None]          # [1, P, 1]
-    blk = jnp.sum(idx >= bounds[:, None, :], axis=-1) - 1  # [R, P]
-    active = (count - 2 * padding >= n_blocks)[:, None]
-    in_blocks = (blk >= 0) & (blk < n_blocks) & (idx[..., 0] < n - padding)
+    R = count.shape[0]
+    n = jnp.reshape(count, (-1, 1))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (R, n_points), 1)
+    # Accumulate over the n_blocks+1 boundaries as [R, P] compares — a
+    # [R, P, n_blocks+1] broadcast would pad its 7-wide minor dim to
+    # 128 lanes inside the Pallas kernel (~10 MB of VMEM per temp).
+    blk = jnp.full((R, n_points), -1, jnp.int32)
+    for j in range(n_blocks + 1):
+        bound_j = (padding * (n_blocks - j) + (n - padding) * j) \
+            // n_blocks                                     # [R, 1]
+        blk = blk + (idx >= bound_j).astype(jnp.int32)
+    active = (n - 2 * padding >= n_blocks)
+    in_blocks = (blk >= 0) & (blk < n_blocks) & (idx < n - padding)
     return jnp.where(active & in_blocks, blk, -1)
 
 
@@ -154,9 +194,12 @@ def _nms_pass(labels, curvature, blk, g, count, *, padding, n_blocks,
     (and the cap can sit far above the typical round count for a hard
     equivalence guarantee at no steady-state cost).
     """
+    lane = jax.lax.broadcasted_iota(jnp.int32, curvature.shape,
+                                    curvature.ndim - 1)
     P = curvature.shape[-1]
-    lane = jnp.arange(P)[None, :]
-    neg_inf = jnp.asarray(-jnp.inf, curvature.dtype)
+    # Python-literal -inf: a jnp scalar constant here would be
+    # captured by the Pallas kernel closure, which Pallas rejects.
+    neg_inf = float("-inf")
 
     score = curvature if pick_max else -curvature
     thr_ok = (curvature >= threshold) if pick_max else (curvature <= threshold)
@@ -191,7 +234,7 @@ def _nms_pass(labels, curvature, blk, g, count, *, padding, n_blocks,
         for d in range(1, padding + 1):
             for sgn in (-1, 1):
                 dd = sgn * d
-                sel_n = jnp.roll(selected, -dd, axis=-1)
+                sel_n = _roll_bool(selected, -dd)
                 g_n = jnp.roll(g, -dd, axis=-1)
                 blk_n = jnp.roll(blk, -dd, axis=-1)
                 inb = ((lane + dd >= 0) & (lane + dd < P)
@@ -222,24 +265,25 @@ def occlusion_mask(rng, nb, g, count, *, padding, distance_diff_threshold):
     gap prefix.
     """
     P = rng.shape[-1]
-    idx = jnp.arange(P)[None, :]
-    n = jnp.asarray(count)[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, rng.shape, rng.ndim - 1)
+    n = jnp.reshape(jnp.asarray(count), (-1, 1))
 
     jump_up = jnp.roll(rng, -1, axis=-1) > rng + distance_diff_threshold
     # Left: trigger at position i+1 for i in [0, n-padding-2].
-    trig_l = jnp.roll(nb & jump_up & (idx < n - padding - 1), 1, axis=-1)
+    trig_l = _roll_bool(nb & jump_up & (idx < n - padding - 1), 1)
     trig_l = trig_l & (idx >= 1)
     # Right: trigger at position m=i-1 for i in [padding+1, n-1]:
     # nb(m, m+1) and range[m] > range[m+1] + thr.
     jump_down = rng > jnp.roll(rng, -1, axis=-1) + distance_diff_threshold
     trig_r = nb & jump_down & (idx >= padding) & (idx <= n - 2)
 
-    occl = jnp.zeros_like(nb)
-    for dshift in range(padding + 1):
-        tl = jnp.roll(trig_l, dshift, axis=-1) & (idx >= dshift)
+    # dshift = 0 first (Mosaic rejects the zero-size slice of roll-by-0).
+    occl = trig_l | trig_r
+    for dshift in range(1, padding + 1):
+        tl = _roll_bool(trig_l, dshift) & (idx >= dshift)
         gl = jnp.roll(g, dshift, axis=-1)
         occl = occl | (tl & (g == gl))
-        tr = jnp.roll(trig_r, -dshift, axis=-1) & (idx + dshift < P)
+        tr = _roll_bool(trig_r, -dshift) & (idx + dshift < P)
         gr = jnp.roll(g, -dshift, axis=-1)
         occl = occl | (tr & (g == gr))
     return occl & (idx < n)
@@ -247,8 +291,8 @@ def occlusion_mask(rng, nb, g, count, *, padding, distance_diff_threshold):
 
 def parallel_beam_mask(rng, count, *, range_ratio_threshold):
     """ratio test on both adjacent ranges (parallel_beam.hpp:37-53)."""
-    idx = jnp.arange(rng.shape[-1])[None, :]
-    n = jnp.asarray(count)[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, rng.shape, rng.ndim - 1)
+    n = jnp.reshape(jnp.asarray(count), (-1, 1))
     safe = jnp.maximum(rng, 1e-30)
     r_prev = jnp.abs(jnp.roll(rng, 1, axis=-1) - rng) / safe
     r_next = jnp.abs(jnp.roll(rng, -1, axis=-1) - rng) / safe
@@ -257,17 +301,19 @@ def parallel_beam_mask(rng, count, *, range_ratio_threshold):
         & (r_next > range_ratio_threshold) & inner
 
 
-def label_range_image(image: RangeImage,
-                      cfg: ExtractionConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Compute per-point labels and curvature for a whole range image."""
-    rng = xy_range(image)
-    rng = jnp.where(image.mask, rng, 0.0)
-    count = image.count
+def label_planes(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
+                 count: jnp.ndarray, cfg: ExtractionConfig
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Plane-based labeling core over x/y coordinate planes [R, P] —
+    shared by the XLA path (``label_range_image``) and the fused Pallas
+    extraction kernel (ops/extraction_pallas.py). All index math uses
+    2-D broadcasted iota (a Mosaic requirement)."""
+    rng = jnp.where(mask, jnp.sqrt(x * x + y * y), 0.0)
 
     curv = curvature_kernel(rng, count, cfg.padding)
-    nb = neighbor_flags(image.xyz, count, cfg.radian_threshold)
+    nb = neighbor_flags_xy(x, y, count, cfg.radian_threshold)
     g = gap_prefix(nb)
-    blk = block_ids(count, image.max_points, cfg.padding, cfg.n_blocks)
+    blk = block_ids(count, x.shape[-1], cfg.padding, cfg.n_blocks)
 
     labels = jnp.full(rng.shape, DEFAULT, jnp.int32)
     labels = _nms_pass(
@@ -285,13 +331,14 @@ def label_range_image(image: RangeImage,
 
     # Masking passes overwrite labels in the reference's order
     # (feature_extraction.cpp:137-142).
-    ring_active = (count - 2 * cfg.padding >= cfg.n_blocks)[:, None]
+    ring_active = jnp.reshape(count, (-1, 1)) - 2 * cfg.padding \
+        >= cfg.n_blocks
     occl = occlusion_mask(rng, nb, g, count, padding=cfg.padding,
                           distance_diff_threshold=cfg.distance_diff_threshold)
     labels = jnp.where(occl & ring_active, OCCLUDED, labels)
 
-    idx = jnp.arange(rng.shape[-1])[None, :]
-    in_ring = idx < count[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, rng.shape, rng.ndim - 1)
+    in_ring = idx < jnp.reshape(count, (-1, 1))
     oor = ~((rng >= cfg.min_range) & (rng <= cfg.max_range)) & in_ring
     labels = jnp.where(oor & ring_active, OUT_OF_RANGE, labels)
 
@@ -299,8 +346,15 @@ def label_range_image(image: RangeImage,
                              range_ratio_threshold=cfg.parallel_beam_min_range_ratio)
     labels = jnp.where(par & ring_active, PARALLEL_BEAM, labels)
 
-    labels = jnp.where(image.mask & ring_active, labels, DEFAULT)
+    labels = jnp.where(mask & ring_active, labels, DEFAULT)
     return labels, curv
+
+
+def label_range_image(image: RangeImage,
+                      cfg: ExtractionConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute per-point labels and curvature for a whole range image."""
+    return label_planes(image.xyz[..., 0], image.xyz[..., 1],
+                        image.mask, image.count, cfg)
 
 
 def compact_by_mask(xyz: jnp.ndarray, mask: jnp.ndarray,
@@ -331,12 +385,20 @@ def extract_features(image: RangeImage,
                             surf_xyz, surf_valid)
 
 
+def _voxel_run_key_planes(x, y, z, leaf: float) -> jnp.ndarray:
+    """int32 voxel identity hash over coordinate planes (equality of
+    ADJACENT lanes only — a hash collision merely merges two
+    neighboring runs)."""
+    cx = jnp.floor(x / leaf).astype(jnp.int32)
+    cy = jnp.floor(y / leaf).astype(jnp.int32)
+    cz = jnp.floor(z / leaf).astype(jnp.int32)
+    return (cx * 73856093) ^ (cy * 19349663) ^ (cz * 83492791)
+
+
 def _voxel_run_key(xyz: jnp.ndarray, leaf: float) -> jnp.ndarray:
-    """int32 voxel identity hash for run detection (equality of ADJACENT
-    lanes only — a hash collision merely merges two neighboring runs)."""
-    c = jnp.floor(xyz / leaf).astype(jnp.int32)
-    return ((c[..., 0] * 73856093) ^ (c[..., 1] * 19349663)
-            ^ (c[..., 2] * 83492791))
+    """AoS wrapper of ``_voxel_run_key_planes`` for [..., 3] points."""
+    return _voxel_run_key_planes(xyz[..., 0], xyz[..., 1], xyz[..., 2],
+                                 leaf)
 
 
 def _propagate_from_flag(flag: jnp.ndarray, value: jnp.ndarray,
@@ -352,6 +414,44 @@ def _propagate_from_flag(flag: jnp.ndarray, value: jnp.ndarray,
 
     _, out = jax.lax.associative_scan(combine, (flag, value), axis=axis)
     return out
+
+
+def compact_columns(labels: jnp.ndarray, mask: jnp.ndarray,
+                    key: jnp.ndarray, ce: int, cs: int):
+    """One-hot column assignment of the compaction matmul, [R, P] int32.
+
+    Edge lanes get their per-ring rank (capped at ``ce``); surface
+    voxel-run END lanes get ``ce +`` their stratified run column; all
+    other lanes get the dump column ``ce + cs``. Plane-only math
+    (2-D iota, rolls, cumsums) — shared by the XLA path and the Pallas
+    extraction kernel. Returns (col, edge_mask, surf_mask, run_end)."""
+    edge_mask = (labels == EDGE) & mask
+    surf_mask = (labels == SURFACE) & mask
+    idx = jax.lax.broadcasted_iota(jnp.int32, labels.shape,
+                                   labels.ndim - 1)
+    P = labels.shape[-1]
+
+    # Edge columns: per-ring rank, capped.
+    epos = _cumsum_lanes(edge_mask.astype(jnp.int32)) - 1
+    ecol = jnp.where(edge_mask & (epos < ce), epos, -1)
+
+    # Surface runs: adjacent SURFACE lanes sharing a voxel key.
+    nxt_key = jnp.roll(key, -1, axis=-1)
+    nxt_surf = _roll_bool(surf_mask, -1) & (idx < P - 1)
+    run_end = surf_mask & (~nxt_surf | (nxt_key != key))
+    rid = _cumsum_lanes(run_end.astype(jnp.int32)) - 1          # [R, P]
+    n_runs = jnp.maximum(rid[:, P - 1:P] + 1, 1)
+    # Stratified pick: column floor(rid * cs / max(n_runs, cs)); take
+    # the first run that lands on each column.
+    denom = jnp.maximum(n_runs, cs)
+    scol_all = (rid * cs) // denom
+    scol_prev = ((rid - 1) * cs) // denom
+    first_on_col = (rid == 0) | (scol_all > scol_prev)
+    scol = jnp.where(run_end & first_on_col, scol_all, -1)
+
+    col = jnp.where(ecol >= 0, ecol,
+                    jnp.where(scol >= 0, ce + scol, ce + cs))
+    return col, edge_mask, surf_mask, run_end
 
 
 class CompactFeatures(NamedTuple):
@@ -414,29 +514,30 @@ def extract_features_compact(image: RangeImage, cfg: ExtractionConfig,
     Both feature classes ride ONE [R, P, ce+cs] one-hot matmul (exact
     0/1 selection in f32, so values are bit-identical to a gather).
     """
-    labels, curv = label_range_image(image, cfg)
     xyz = image.xyz
-    R, P = labels.shape
+    R, P = image.mask.shape
     ce, cs = edges_per_ring, surface_runs_per_ring
     dtype = xyz.dtype
 
-    edge_mask = (labels == EDGE) & image.mask
-    surf_mask = (labels == SURFACE) & image.mask
+    use_pallas = (cfg.pallas_labeling and not surface_centroid
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        from lidar_feature_extraction_tpu.ops.extraction_pallas import (
+            label_and_columns_pallas)
 
-    # --- edge columns: per-ring rank, capped -----------------------------
-    epos = jnp.cumsum(edge_mask.astype(jnp.int32), axis=-1) - 1
-    ecol = jnp.where(edge_mask & (epos < ce), epos, -1)
-
-    # --- surface runs -----------------------------------------------------
-    key = _voxel_run_key(xyz, surface_leaf)
-    nxt_key = jnp.roll(key, -1, axis=-1)
-    nxt_surf = jnp.concatenate([surf_mask[:, 1:],
-                                jnp.zeros((R, 1), bool)], axis=-1)
-    run_end = surf_mask & (~nxt_surf | (nxt_key != key))
+        labels, curv, col = label_and_columns_pallas(
+            xyz[..., 0], xyz[..., 1], xyz[..., 2], image.count, cfg,
+            surface_leaf, ce, cs)
+        edge_mask = (labels == EDGE) & image.mask
+    else:
+        labels, curv = label_range_image(image, cfg)
+        key = _voxel_run_key(xyz, surface_leaf)
+        col, edge_mask, surf_mask, run_end = compact_columns(
+            labels, image.mask, key, ce, cs)
 
     if surface_centroid:
-        prv_surf = jnp.concatenate([jnp.zeros((R, 1), bool),
-                                    surf_mask[:, :-1]], axis=-1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
+        prv_surf = jnp.roll(surf_mask, 1, axis=-1) & (idx >= 1)
         prv_key = jnp.roll(key, 1, axis=-1)
         run_start = surf_mask & (~prv_surf | (prv_key != key))
 
@@ -453,20 +554,6 @@ def extract_features_compact(image: RangeImage, cfg: ExtractionConfig,
         # Run-end representative point: [xyz, 1] — count 1 per run.
         run_sum4 = jnp.concatenate([xyz, jnp.ones((R, P, 1), dtype)],
                                    axis=-1)
-
-    rid = jnp.cumsum(run_end.astype(jnp.int32), axis=-1) - 1    # [R, P]
-    n_runs = jnp.maximum(rid[:, -1:] + 1, 1)
-    # Stratified pick: column floor(rid * cs / max(n_runs, cs)); take the
-    # first run that lands on each column.
-    denom = jnp.maximum(n_runs, cs)
-    scol_all = (rid * cs) // denom
-    scol_prev = ((rid - 1) * cs) // denom
-    first_on_col = (rid == 0) | (scol_all > scol_prev)
-    scol = jnp.where(run_end & first_on_col, scol_all, -1)
-
-    # --- one fused one-hot matmul ----------------------------------------
-    col = jnp.where(ecol >= 0, ecol,
-                    jnp.where(scol >= 0, ce + scol, ce + cs))
     onehot = (col[..., None]
               == jnp.arange(ce + cs)[None, None, :]).astype(dtype)
     if surface_centroid:
