@@ -471,7 +471,8 @@ class CompactFeatures(NamedTuple):
     surface_valid: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("cfg", "edges_per_ring",
+@partial(jax.jit, static_argnames=("cfg", "surface_leaf",
+                                   "edges_per_ring",
                                    "surface_runs_per_ring",
                                    "surface_centroid"))
 def extract_features_compact(image: RangeImage, cfg: ExtractionConfig,

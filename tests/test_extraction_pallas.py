@@ -38,6 +38,28 @@ def test_pallas_labels_and_columns_match_xla():
                                rtol=1e-9, atol=1e-9)
 
 
+def test_compact_extraction_pallas_branch_traces(monkeypatch):
+    """Trace extract_features_compact with the TPU Pallas branch forced.
+
+    The CPU suite otherwise never traces the production dispatch path
+    (extraction.py use_pallas), which let a captured-constant bug (a
+    non-static ``surface_leaf`` leaking into the kernel closure as an
+    f32[] tracer) reach the real chip. Kernel tracing is backend-
+    independent, so .trace() catches that class of bug here."""
+    from lidar_feature_extraction_tpu.config import kitti_hdl64
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    pc = kitti_hdl64()
+    cfg = pc.extraction
+    img = _multi_ring_image(np.random.default_rng(9), cfg.n_rings, 512)
+    assert cfg.pallas_labeling
+    traced = ex.extract_features_compact.trace(
+        img, cfg, surface_leaf=pc.registration.surface_downsample_leaf,
+        edges_per_ring=cfg.edges_per_ring,
+        surface_runs_per_ring=cfg.surface_runs_per_ring)
+    assert "pallas_call" in str(traced.jaxpr)
+
+
 def test_pallas_ring_group_split_invariance():
     rng = np.random.default_rng(8)
     cfg = ExtractionConfig(n_rings=8, max_points_per_ring=512,
