@@ -147,6 +147,48 @@ def _so3_right_jacobian(theta: jnp.ndarray, eps: float = 1e-8):
     return eye - c1 * hat + c2 * hat2
 
 
+def predict_state(q, t, v, pre: ImuPreintegration, gravity=GRAVITY):
+    """Dead-reckon a world-frame state (q, t, v) through a
+    preintegrated IMU window: the inverse of ``imu_factor_residual``'s
+    measurement model (r == 0 at exactly this prediction).
+
+    This is the IMU-aided Gauss-Newton PRIOR: the scan matcher starts
+    from the IMU-predicted pose instead of the last pose
+    (constant-position assumption), which keeps fast rotation inside
+    the convergence basin — the LIO-SAM-style role the reference's
+    stubbed ``imu_integration`` package was meant to play
+    (``imu_integration/include/imu_integration/integration.hpp:30-33``).
+    """
+    dt = pre.dt
+    t_new = t + v * dt + 0.5 * gravity * dt * dt \
+        + quat.quat_rotate(q, pre.dp)
+    v_new = v + gravity * dt + quat.quat_rotate(q, pre.dv)
+    q_new = quat.quat_normalize(quat.quat_multiply(q, pre.dq))
+    return q_new, t_new, v_new
+
+
+def synthesize_imu(poses_q, poses_t, dt: float, gravity=GRAVITY):
+    """Generate ideal IMU measurements from a ground-truth pose
+    sequence [N, 4] / [N, 3] sampled every ``dt`` seconds — the test
+    harness for IMU-aided pipelines (gyro = body rates from finite
+    rotation deltas, accel = specific force from second differences).
+    Returns (gyro [N-1, 3], accel [N-1, 3], dts [N-1], vel0 [3]):
+    sample k covers the interval k -> k+1 (zeroth-order hold)."""
+    q = jnp.asarray(poses_q)
+    t = jnp.asarray(poses_t)
+    n = q.shape[0]
+    rel = quat.quat_multiply(quat.quat_conjugate(q[:-1]), q[1:])
+    gyro = jax.vmap(quat.log_so3)(rel) / dt
+    # World-frame velocities at sample midpoints; accel from their
+    # differences, attributed to the interval start (ZOH).
+    v = (t[1:] - t[:-1]) / dt                       # [N-1, 3] v_{k+1/2}
+    a_w = jnp.diff(v, axis=0, append=v[-1:]) / dt   # [N-1, 3]
+    accel = jax.vmap(quat.quat_rotate)(
+        quat.quat_conjugate(q[:-1]), a_w - gravity)
+    dts = jnp.full((n - 1,), dt, t.dtype)
+    return gyro, accel, dts, v[0]
+
+
 class ImuFactorResidual(NamedTuple):
     r_theta: jnp.ndarray  # [3]
     r_v: jnp.ndarray      # [3]

@@ -9,6 +9,8 @@ batches (`multihost_utils`-style host-local -> global assembly).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -17,8 +19,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Bring up jax.distributed (no-op when single-process). Arguments
-    default to the JAX_* environment contract used by TPU pods."""
+    """Bring up jax.distributed (no-op when single-process).
+
+    Arguments default to the JAX_* environment contract used by TPU
+    pods: ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID`` (exactly the variables
+    ``jax.distributed.initialize`` itself falls back to on non-TPU
+    platforms). Explicit arguments win over the environment.
+    """
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env else None
+    if process_id is None:
+        env = os.environ.get("JAX_PROCESS_ID")
+        process_id = int(env) if env else None
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

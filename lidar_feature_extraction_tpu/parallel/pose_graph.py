@@ -82,14 +82,29 @@ _linearize = jax.vmap(_linearize_one)
 
 
 def _local_normal_equations(graph: PoseGraph, cons: Constraints,
-                            n_poses: int):
-    """Assemble this shard's contribution to H [6K, 6K] and g [6K]."""
+                            n_poses: int,
+                            robust_delta: float | None = None):
+    """Assemble this shard's contribution to H [6K, 6K] and g [6K].
+
+    ``robust_delta`` applies a redescending Geman-McClure kernel on the
+    6-dim residual norm (IRLS weight (d^2 / (d^2 + |r|^2))^2): a
+    constraint whose residual is far beyond delta — e.g. a false loop
+    closure fighting a consistent odometry chain — contributes
+    essentially nothing, while consistent constraints (|r| << d) keep
+    weight ~1. A bounded (Huber-style) kernel is NOT enough here: its
+    weight only decays as d/|r|, so a gross outlier retains enough pull
+    to visibly bend a gauge-anchored chain (lever-arm stiffness between
+    two keyframes k links apart is only ~1/k)."""
     qi = graph.poses_q[cons.i]
     ti = graph.poses_t[cons.i]
     qj = graph.poses_q[cons.j]
     tj = graph.poses_t[cons.j]
     r, ji, jj = _linearize(qi, ti, qj, tj, cons.z_q, cons.z_t)
     w = cons.weight
+    if robust_delta is not None:
+        d2 = robust_delta * robust_delta
+        r2 = jnp.sum(r * r, axis=-1)
+        w = w * jnp.square(d2 / (d2 + r2))
 
     k6 = 6 * n_poses
     h = jnp.zeros((k6, k6), graph.poses_t.dtype)
@@ -133,20 +148,24 @@ def optimize_pose_graph(graph: PoseGraph, cons: Constraints,
                         n_iterations: int = 10,
                         prior_weight: float = 1e6,
                         damping: float = 1e-6,
-                        axis_name: str | None = None) -> PoseGraph:
+                        axis_name: str | None = None,
+                        robust_delta: float | None = None) -> PoseGraph:
     """Gauss-Newton over the whole pose graph.
 
     When ``axis_name`` is given the function must run inside shard_map /
     pjit with constraints sharded on the leading axis: each device
     assembles its local normal equations and the global system is the
     ``psum`` over the mesh — the ICI reduction of the BASELINE north
-    star. Pose 0 is gauge-fixed with a strong prior.
+    star. Pose 0 is gauge-fixed with a strong prior. ``robust_delta``
+    enables Huber-IRLS down-weighting of outlier constraints (the
+    weights are recomputed every iteration at the current estimate).
     """
     k = graph.poses_q.shape[0]
     k6 = 6 * k
 
     def step(_, graph):
-        h, g = _local_normal_equations(graph, cons, k)
+        h, g = _local_normal_equations(graph, cons, k,
+                                       robust_delta=robust_delta)
         if axis_name is not None:
             h = jax.lax.psum(h, axis_name)
             g = jax.lax.psum(g, axis_name)

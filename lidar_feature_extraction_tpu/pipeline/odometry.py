@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from lidar_feature_extraction_tpu.config import PipelineConfig
 from lidar_feature_extraction_tpu.core.pose import Pose
+from lidar_feature_extraction_tpu.fusion import imu as imu_mod
 from lidar_feature_extraction_tpu.ops import gauss_newton as gn
 from lidar_feature_extraction_tpu.ops.downsample import voxel_downsample
 from lidar_feature_extraction_tpu.ops.residuals import (edge_residuals,
@@ -59,13 +60,20 @@ def init_odometry(cfg: PipelineConfig, dtype=jnp.float32) -> OdometryState:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def odometry_step(state: OdometryState, edge_pts, edge_valid, surf_pts,
-                  surf_valid, cfg: PipelineConfig):
+                  surf_valid, cfg: PipelineConfig, prior_q=None,
+                  prior_t=None):
     """One odometry update (Odometry::Update, odometry.hpp:52-64):
     register the scan's features against the merged recent window,
     then insert the transformed scan at the new pose. The first scan
-    initializes the window without registration."""
+    initializes the window without registration.
+
+    ``prior_q``/``prior_t`` override the Gauss-Newton starting pose
+    (default: the previous pose, the reference's constant-position
+    prior). The IMU-aided path passes the preintegrated prediction
+    (fusion/imu.py predict_state) here."""
     reg = cfg.registration
-    pose = Pose(state.pose_q, state.pose_t)
+    pose = Pose(state.pose_q if prior_q is None else prior_q,
+                state.pose_t if prior_t is None else prior_t)
     is_first = state.n_scans == 0
 
     merged_edges = state.edge_window.reshape(-1, 3)
@@ -129,15 +137,49 @@ def odometry_step(state: OdometryState, edge_pts, edge_valid, surf_pts,
 
 
 class Odometry:
-    """Host facade mirroring the C++ ``Odometry`` template."""
+    """Host facade mirroring the C++ ``Odometry`` template, plus the
+    IMU-aided prior path the reference's stubbed ``imu_integration``
+    package intended (LIO-SAM lineage, SURVEY.md §2.6)."""
 
     def __init__(self, cfg: PipelineConfig, dtype=jnp.float32):
         self.cfg = cfg
         self.state = init_odometry(cfg, dtype)
+        self.velocity = jnp.zeros(3, dtype)
+        self._last_pose: Pose | None = None
+        self._preintegrate = jax.jit(
+            lambda g, a, d: imu_mod.preintegrate(
+                g, a, d, jnp.zeros(3, dtype), jnp.zeros(3, dtype)))
 
-    def update(self, edge_pts, edge_valid, surf_pts, surf_valid):
-        self.state, result = odometry_step(
-            self.state, edge_pts, edge_valid, surf_pts, surf_valid, self.cfg)
+    def update(self, edge_pts, edge_valid, surf_pts, surf_valid,
+               prior: Pose | None = None):
+        if prior is None:
+            self.state, result = odometry_step(
+                self.state, edge_pts, edge_valid, surf_pts, surf_valid,
+                self.cfg)
+        else:
+            self.state, result = odometry_step(
+                self.state, edge_pts, edge_valid, surf_pts, surf_valid,
+                self.cfg, prior_q=prior.q, prior_t=prior.t)
+        return result
+
+    def update_with_imu(self, edge_pts, edge_valid, surf_pts, surf_valid,
+                        gyro, accel, dts):
+        """Odometry update with the scan-matcher seeded by the IMU
+        prediction over the inter-scan window (gyro/accel/dts: [N, 3] /
+        [N, 3] / [N] samples since the previous scan). Velocity state
+        is corrected from the registered poses after each update."""
+        pre = self._preintegrate(jnp.asarray(gyro), jnp.asarray(accel),
+                                 jnp.asarray(dts))
+        q, t, _v = imu_mod.predict_state(
+            self.state.pose_q, self.state.pose_t, self.velocity, pre)
+        prev_t = self.state.pose_t
+        result = self.update(edge_pts, edge_valid, surf_pts, surf_valid,
+                             prior=Pose(q, t))
+        # Velocity from registered motion (more stable than trusting
+        # the IMU-propagated velocity once the matcher has corrected
+        # the pose).
+        window_dt = jnp.maximum(pre.dt, 1e-6)
+        self.velocity = (self.state.pose_t - prev_t) / window_dt
         return result
 
     @property

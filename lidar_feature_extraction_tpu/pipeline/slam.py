@@ -53,7 +53,10 @@ class MappingPipeline:
     def __init__(self, cfg: PipelineConfig,
                  loop_radius: float = 5.0,
                  loop_min_gap: int = 20,
-                 optimize_every: int = 10):
+                 optimize_every: int = 10,
+                 loop_inlier_threshold: float = 0.3,
+                 loop_min_inlier_frac: float = 0.6,
+                 loop_min_matches: int = 50):
         self.cfg = cfg
         self.odometry = Odometry(cfg)
         self.keyframes: list[Keyframe] = []
@@ -61,16 +64,48 @@ class MappingPipeline:
         self.loop_radius = loop_radius
         self.loop_min_gap = loop_min_gap
         self.optimize_every = optimize_every
+        # Loop-closure acceptance gate: a candidate registration must
+        # CONVERGE (MAX_ITERATIONS is a failed registration here — the
+        # reference's localization treats it as usable only because an
+        # EKF gate sits behind it, subscriber.hpp:128-176; a pose graph
+        # has no such second line of defense), keep >= min_matches
+        # valid correspondences at the final pose, and have >=
+        # min_inlier_frac of them within inlier_threshold meters.
+        self.loop_inlier_threshold = loop_inlier_threshold
+        self.loop_min_inlier_frac = loop_min_inlier_frac
+        self.loop_min_matches = loop_min_matches
         self._optimized: Optional[PoseGraph] = None
         self._kf_since_opt = 0
+        # IMU: raw samples buffered between keyframes; preintegrated
+        # factor per keyframe interval (fusion/imu.py — the reference's
+        # imu_integration package is an empty stub, SURVEY.md §2.6).
+        self._imu_buffer: list = []
+        self.imu_factors: list = []   # (i, j, ImuPreintegration)
+        self._vels: Optional[np.ndarray] = None
 
     # ---- front end -------------------------------------------------
 
     def process_scan(self, edge_pts, edge_valid, surf_pts, surf_valid,
-                     stamp: float = 0.0) -> Pose:
+                     stamp: float = 0.0, imu_gyro=None, imu_accel=None,
+                     imu_dts=None) -> Pose:
         """Odometry update + keyframe/loop bookkeeping. Returns the
-        current (odometry-frame) pose estimate."""
-        self.odometry.update(edge_pts, edge_valid, surf_pts, surf_valid)
+        current (odometry-frame) pose estimate.
+
+        ``imu_*``: raw IMU samples covering the window since the
+        previous scan ([N, 3] gyro, [N, 3] accel, [N] intervals). When
+        given they (a) seed the scan matcher with the IMU-predicted
+        pose and (b) accumulate into a preintegrated factor between
+        keyframes for the graph back-end."""
+        if imu_gyro is not None:
+            self.odometry.update_with_imu(edge_pts, edge_valid,
+                                          surf_pts, surf_valid,
+                                          imu_gyro, imu_accel, imu_dts)
+            self._imu_buffer.append((np.asarray(imu_gyro),
+                                     np.asarray(imu_accel),
+                                     np.asarray(imu_dts)))
+        else:
+            self.odometry.update(edge_pts, edge_valid, surf_pts,
+                                 surf_valid)
         pose = self.odometry.pose
 
         if self._should_add_keyframe(pose):
@@ -94,6 +129,20 @@ class MappingPipeline:
         if idx > 0:
             rel = relative_pose(self.keyframes[idx - 1].pose, kf.pose)
             self.constraints.append((idx - 1, idx, rel, 1.0))
+            if self._imu_buffer:
+                from lidar_feature_extraction_tpu.fusion.imu import (
+                    preintegrate)
+
+                g = np.concatenate([b[0] for b in self._imu_buffer])
+                a = np.concatenate([b[1] for b in self._imu_buffer])
+                d = np.concatenate([b[2] for b in self._imu_buffer])
+                pre = preintegrate(
+                    jnp.asarray(g, jnp.float32),
+                    jnp.asarray(a, jnp.float32),
+                    jnp.asarray(d, jnp.float32),
+                    jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32))
+                self.imu_factors.append((idx - 1, idx, pre))
+        self._imu_buffer = []
         closure = self._try_loop_closure(idx)
         self._kf_since_opt += 1
         if closure or self._kf_since_opt >= self.optimize_every:
@@ -120,17 +169,21 @@ class MappingPipeline:
         j = min(candidates,
                 key=lambda j: np.linalg.norm(
                     np.asarray(self.keyframes[j].pose.t) - pos))
-        rel = self._register_to_keyframe(kf, self.keyframes[j])
-        if rel is None:
+        match = self._register_to_keyframe(kf, self.keyframes[j])
+        if match is None:
             return False
-        self.constraints.append((j, idx, rel, 1.0))
+        rel, quality = match
+        self.constraints.append((j, idx, rel, quality))
         return True
 
-    def _register_to_keyframe(self, kf: Keyframe,
-                              target: Keyframe) -> Optional[Pose]:
+    def _register_to_keyframe(
+            self, kf: Keyframe,
+            target: Keyframe) -> Optional[tuple[Pose, float]]:
         """GN-register kf's features against target's features (both in
-        their sensor frames); returns the measured relative pose
-        target->kf or None on failure."""
+        their sensor frames); returns (measured relative pose
+        target->kf, quality weight in (0, 1]) or None on failure —
+        non-convergence, correspondence starvation, or a low inlier
+        fraction at the final pose all reject the candidate."""
         reg = self.cfg.registration
         em, sm = reg.edge_map, reg.surface_map
         dims = reg.odometry_grid_dims
@@ -161,29 +214,90 @@ class MappingPipeline:
             problem_fn, prior, max_iterations=reg.max_iterations,
             convergence_tol=reg.convergence_tol, huber_k=reg.huber_k,
             degeneracy_threshold=reg.degeneracy_threshold)
-        if int(result.status) not in (gn.CONVERGED, gn.MAX_ITERATIONS):
+        if int(result.status) != gn.CONVERGED:
             return None
-        return result.pose
+
+        # Post-fit fitness gate at the FINAL pose: how many
+        # correspondences survive, and what fraction of them lie within
+        # the inlier radius. A wrong-but-converged registration (aliased
+        # geometry) fails here; a right one on these feature densities
+        # has inlier fractions near 1.
+        problem = problem_fn(result.pose)
+        valid = np.asarray(problem.valid)
+        errors = np.asarray(problem.errors)
+        n_valid = int(valid.sum())
+        if n_valid < self.loop_min_matches:
+            return None
+        inlier = valid & (errors < self.loop_inlier_threshold ** 2)
+        inlier_frac = float(inlier.sum()) / n_valid
+        if inlier_frac < self.loop_min_inlier_frac:
+            return None
+        # Constraint weight = inlier fraction: a marginal closure never
+        # outweighs the odometry chain (weight 1.0); the pose-graph
+        # robust kernel (parallel/pose_graph.py) handles anything that
+        # still slips through.
+        return result.pose, inlier_frac
 
     # ---- back end --------------------------------------------------
 
-    def optimize(self, n_iterations: int = 10) -> None:
+    def optimize(self, n_iterations: int = 10,
+                 robust_delta: float | None = 0.5) -> None:
         """Pose-graph Gauss-Newton over all keyframes (chain + loop
-        constraints). Single-device here; the sharded variant is
+        constraints), with a Geman-McClure kernel (``robust_delta``) so
+        any outlier constraint that survived the acceptance gate is
+        down-weighted rather than trusted. Single-device here; the
+        sharded variant is
         parallel/pose_graph.make_distributed_pose_graph_optimizer."""
         k = len(self.keyframes)
         if k < 2 or not self.constraints:
             return
-        graph = PoseGraph(
-            poses_q=jnp.stack([kf.pose.q for kf in self.keyframes]),
-            poses_t=jnp.stack([kf.pose.t for kf in self.keyframes]))
+        poses_q = jnp.stack([kf.pose.q for kf in self.keyframes])
+        poses_t = jnp.stack([kf.pose.t for kf in self.keyframes])
         i = jnp.asarray([c[0] for c in self.constraints], jnp.int32)
         j = jnp.asarray([c[1] for c in self.constraints], jnp.int32)
         zq = jnp.stack([c[2].q for c in self.constraints])
         zt = jnp.stack([c[2].t for c in self.constraints])
         w = jnp.asarray([c[3] for c in self.constraints], jnp.float32)
         cons = Constraints(i=i, j=j, z_q=zq, z_t=zt, weight=w)
-        out = optimize_pose_graph(graph, cons, n_iterations=n_iterations)
+
+        if self.imu_factors:
+            from lidar_feature_extraction_tpu.parallel.imu_graph import (
+                ImuFactors, ImuGraph, optimize_imu_graph,
+                weights_from_covariance)
+
+            pres = [f[2] for f in self.imu_factors]
+            cov = jnp.stack([p.cov for p in pres])
+            w_rot, w_vel, w_pos = weights_from_covariance(cov)
+            imu = ImuFactors(
+                i=jnp.asarray([f[0] for f in self.imu_factors],
+                              jnp.int32),
+                j=jnp.asarray([f[1] for f in self.imu_factors],
+                              jnp.int32),
+                dq=jnp.stack([p.dq for p in pres]),
+                dv=jnp.stack([p.dv for p in pres]),
+                dp=jnp.stack([p.dp for p in pres]),
+                dt=jnp.stack([p.dt for p in pres]),
+                w_rot=w_rot, w_vel=w_vel, w_pos=w_pos,
+                weight=jnp.ones(len(pres), jnp.float32))
+            # Initial velocities: finite differences of keyframe
+            # positions over their stamps.
+            t_np = np.asarray(poses_t)
+            stamps = np.asarray([kf.stamp for kf in self.keyframes])
+            ds = np.maximum(np.diff(stamps), 1e-3)
+            v = np.diff(t_np, axis=0) / ds[:, None]
+            vels = jnp.asarray(np.concatenate([v, v[-1:]]), jnp.float32)
+            graph9 = ImuGraph(poses_q=poses_q, poses_t=poses_t,
+                              vels=vels)
+            out9 = optimize_imu_graph(graph9, cons, imu,
+                                      n_iterations=n_iterations,
+                                      robust_delta=robust_delta)
+            out = PoseGraph(poses_q=out9.poses_q, poses_t=out9.poses_t)
+            self._vels = np.asarray(out9.vels)
+        else:
+            graph = PoseGraph(poses_q=poses_q, poses_t=poses_t)
+            out = optimize_pose_graph(graph, cons,
+                                      n_iterations=n_iterations,
+                                      robust_delta=robust_delta)
         self._optimized = out
         # Write back optimized poses.
         self.keyframes = [

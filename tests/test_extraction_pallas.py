@@ -53,11 +53,18 @@ def test_compact_extraction_pallas_branch_traces(monkeypatch):
     cfg = pc.extraction
     img = _multi_ring_image(np.random.default_rng(9), cfg.n_rings, 512)
     assert cfg.pallas_labeling
-    traced = ex.extract_features_compact.trace(
-        img, cfg, surface_leaf=pc.registration.surface_downsample_leaf,
-        edges_per_ring=cfg.edges_per_ring,
-        surface_runs_per_ring=cfg.surface_runs_per_ring)
-    assert "pallas_call" in str(traced.jaxpr)
+    try:
+        traced = ex.extract_features_compact.trace(
+            img, cfg, surface_leaf=pc.registration.surface_downsample_leaf,
+            edges_per_ring=cfg.edges_per_ring,
+            surface_runs_per_ring=cfg.surface_runs_per_ring)
+        assert "pallas_call" in str(traced.jaxpr)
+    finally:
+        # The trace above caches a pallas-bearing jaxpr under a key that
+        # does NOT include the backend (avals + static args only); a
+        # later real-CPU call with the identical signature would reuse
+        # it and fail to lower. Drop it.
+        ex.extract_features_compact.clear_cache()
 
 
 def test_pallas_ring_group_split_invariance():

@@ -114,3 +114,90 @@ def test_ply_export(tmp_path):
     assert "property uchar red" in open(p2, "rb").read(300).decode(
         "ascii", errors="replace")
     export_trajectory(str(tmp_path / "t.ply"), pts)
+
+
+def test_false_loop_closure_rejected():
+    """A loop candidate whose features come from UNRELATED geometry must
+    be rejected by the acceptance gate (convergence + inlier fraction,
+    slam.py _register_to_keyframe), leaving constraints and the
+    optimized trajectory untouched."""
+    rng = np.random.default_rng(2)
+    cfg = small_cfg()
+    world_edges, world_surfs = make_world(rng)
+    pipeline = MappingPipeline(cfg, loop_radius=2.5, loop_min_gap=2,
+                               optimize_every=100)
+
+    for x in [0, 1.5, 3.0, 4.5, 6.0]:
+        pose = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                    t=jnp.asarray([x, 0.0, 0.0], jnp.float32))
+        e, s = sample_scan_features(world_edges, world_surfs, pose, rng,
+                                    n_e=200, n_s=500)
+        e_pts, e_valid = pad_to(e, cfg.extraction.max_edges)
+        s_pts, s_valid = pad_to(s, cfg.extraction.max_surfaces)
+        pipeline.process_scan(e_pts, e_valid, s_pts, s_valid)
+
+    pipeline.optimize()
+    traj_before = pipeline.trajectory.copy()
+    n_cons = len(pipeline.constraints)
+
+    # Forge a revisit: a keyframe claiming to sit next to keyframe 0,
+    # but carrying features sampled from a DIFFERENT world — the
+    # registration either fails to converge or converges onto aliased
+    # geometry with a poor inlier fraction.
+    other_edges, other_surfs = make_world(np.random.default_rng(77))
+    fake_pose = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                     t=jnp.asarray([0.5, 0.5, 0.0], jnp.float32))
+    e, s = sample_scan_features(other_edges, other_surfs, fake_pose, rng,
+                                n_e=200, n_s=500)
+    e_pts, e_valid = pad_to(e, cfg.extraction.max_edges)
+    s_pts, s_valid = pad_to(s, cfg.extraction.max_surfaces)
+    from lidar_feature_extraction_tpu.pipeline.slam import Keyframe
+    fake_kf = Keyframe(pose=fake_pose, edge_pts=e_pts, edge_valid=e_valid,
+                       surf_pts=s_pts, surf_valid=s_valid, stamp=99.0)
+    pipeline.keyframes.append(fake_kf)
+    accepted = pipeline._try_loop_closure(len(pipeline.keyframes) - 1)
+    pipeline.keyframes.pop()
+
+    assert not accepted
+    assert len(pipeline.constraints) == n_cons
+    pipeline.optimize()
+    np.testing.assert_allclose(pipeline.trajectory, traj_before,
+                               atol=1e-5)
+
+
+def test_pose_graph_robust_kernel_resists_outlier_constraint():
+    """One wrong relative-pose constraint injected into a clean chain:
+    with the Huber kernel the optimized trajectory stays near ground
+    truth; without it the outlier visibly drags the graph."""
+    from lidar_feature_extraction_tpu.parallel.pose_graph import (
+        Constraints, PoseGraph, optimize_pose_graph)
+
+    k = 8
+    gt_t = np.stack([np.arange(k, dtype=np.float32),
+                     np.zeros(k, np.float32),
+                     np.zeros(k, np.float32)], axis=-1)
+    ident = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (k, 1))
+    graph = PoseGraph(poses_q=jnp.asarray(ident),
+                      poses_t=jnp.asarray(gt_t))
+
+    # Chain constraints: exact unit steps. Outlier: claims keyframe 6
+    # sits at keyframe 1's position + 3 m lateral (a false closure that
+    # passed no gate).
+    i = list(range(k - 1)) + [1]
+    j = list(range(1, k)) + [6]
+    z_t = [[1.0, 0.0, 0.0]] * (k - 1) + [[0.0, 3.0, 0.0]]
+    z_q = [[1.0, 0.0, 0.0, 0.0]] * k
+    cons = Constraints(i=jnp.asarray(i, jnp.int32),
+                       j=jnp.asarray(j, jnp.int32),
+                       z_q=jnp.asarray(z_q, jnp.float32),
+                       z_t=jnp.asarray(z_t, jnp.float32),
+                       weight=jnp.ones(k, jnp.float32))
+
+    robust = optimize_pose_graph(graph, cons, n_iterations=15,
+                                 robust_delta=0.5)
+    naive = optimize_pose_graph(graph, cons, n_iterations=15)
+
+    err_robust = np.abs(np.asarray(robust.poses_t) - gt_t).max()
+    err_naive = np.abs(np.asarray(naive.poses_t) - gt_t).max()
+    assert err_robust < 0.15, err_robust
+    assert err_naive > 2 * err_robust, (err_naive, err_robust)
