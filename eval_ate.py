@@ -1,0 +1,97 @@
+"""Closed-loop ATE evaluation of the production kitti_hdl64 stack.
+
+Replays one pre-generated synthetic drive (utils/worldsim.py) through
+the EXACT benched configuration (``config.py kitti_hdl64``:
+64x2304 range image, GeometryMaps, compact extraction) AND through the
+faithful path (FeatureMaps, full extraction, per-iteration
+neighborhood refits) with identical extraction parameters, then prints
+ATE-RMSE of both against ground truth and writes ``ATE_EVAL.json``.
+
+This is the acceptance evidence for the production path's documented
+deviations (docs/design.md §8; VERDICT r2 item 1). The CI-speed
+regression guard lives in ``tests/test_production_parity.py``; this
+script records the full-shape numbers quoted in BASELINE.md.
+
+Run on CPU (the closed loop is host-stepped; accuracy is
+shape-independent of the backend):
+    JAX_PLATFORMS=cpu python eval_ate.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from lidar_feature_extraction_tpu.config import kitti_hdl64
+    from lidar_feature_extraction_tpu.pipeline.localization import (
+        build_feature_maps, build_geometry_maps)
+    from lidar_feature_extraction_tpu.utils import worldsim
+    from lidar_feature_extraction_tpu.utils.evaluation import (
+        ate_rmse, relative_translation_errors)
+
+    production = kitti_hdl64()
+    # Faithful variant: identical extraction parameters and shapes; the
+    # deviation stack off (full extraction -> point maps -> cached-
+    # candidate kNN with per-iteration line/plane refits).
+    faithful = dataclasses.replace(
+        production,
+        compact_extraction=False,
+        registration=dataclasses.replace(production.registration,
+                                         refit_per_iteration=True))
+
+    rng = np.random.default_rng(0)
+    # KITTI-like world ray-cast into full 64-ring HDL-64E sweeps
+    # (~110k points/scan, real silhouette discontinuities + occlusion).
+    world = worldsim.make_world(rng, n_poles=50, extent=35.0)
+    world_edges, world_surfs = worldsim.world_maps(world, rng,
+                                                  n_ground=30000)
+    scans, gt = worldsim.make_scan_sequence(
+        world, rng, n_scans=20, n_rings=64, n_az=2048,
+        elev_deg=(2.0, -24.8))
+    twists = worldsim.synth_twists(len(scans), rng=rng)
+
+    args = (jnp.asarray(world_edges, jnp.float32),
+            jnp.ones(len(world_edges), bool),
+            jnp.asarray(world_surfs, jnp.float32),
+            jnp.ones(len(world_surfs), bool))
+    geometry_maps = build_geometry_maps(*args, production)
+    feature_maps = build_feature_maps(*args, faithful)
+
+    out = {}
+    for name, maps, cfg in (("production_kitti_hdl64", geometry_maps,
+                             production),
+                            ("faithful", feature_maps, faithful)):
+        t0 = time.time()
+        est = worldsim.run_drive(maps, cfg, scans, twists=twists)
+        out[name] = {
+            "ate_rmse_m": round(ate_rmse(est, gt, align=False), 4),
+            "ate_xy_rmse_m": round(ate_rmse(
+                np.pad(est[:, :2], ((0, 0), (0, 1))),
+                np.pad(gt[:, :2], ((0, 0), (0, 1))), align=False), 4),
+            "mean_step_drift_m": round(float(np.mean(
+                relative_translation_errors(est, gt))), 4),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(name, out[name], flush=True)
+
+    out["ratio_production_over_faithful"] = round(
+        out["production_kitti_hdl64"]["ate_rmse_m"]
+        / max(out["faithful"]["ate_rmse_m"], 1e-9), 3)
+    out["n_scans"] = len(scans)
+    with open("ATE_EVAL.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

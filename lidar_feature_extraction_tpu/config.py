@@ -216,7 +216,14 @@ def kitti_hdl64() -> PipelineConfig:
             nms_rounds=48,
             # Edge counts at edge_threshold=50 are a few hundred to ~2k
             # per scan; 2048 halves the candidate-gather cost vs 4096.
-            max_edges=2048, max_surfaces=32768))
+            max_edges=2048, max_surfaces=32768,
+            # A ground ring at range r has ~2*pi*r one-meter voxel runs
+            # (>400 at HDL-64E ranges): the old cap of 64 silently
+            # dropped most surface constraints and measurably hurt
+            # closed-loop ATE (r3 bisect: 0.44 m vs 0.037 m on the
+            # worldsim drive). 128 columns/ring keeps stratified
+            # angular coverage at KITTI ranges.
+            surface_runs_per_ring=128))
 
 
 def vlp16() -> PipelineConfig:

@@ -19,12 +19,16 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from lidar_feature_extraction_tpu.core import quaternion as quat
 
-GRAVITY = jnp.asarray([0.0, 0.0, -9.80665])
+# Plain numpy: a module-level jnp constant would freeze whatever default
+# dtype (and backend) is active at import time; consumers cast to their
+# operand dtype instead.
+GRAVITY = np.asarray([0.0, 0.0, -9.80665])
 
 
 class ImuPreintegration(NamedTuple):
@@ -55,6 +59,15 @@ def preintegrate(gyro: jnp.ndarray, accel: jnp.ndarray, dts: jnp.ndarray,
     n = gyro.shape[0]
     if valid is None:
         valid = jnp.ones(n, bool)
+    # Pin every operand to the measurement dtype: callers mix float32
+    # measurements with default-dtype zeros, and under jax_enable_x64
+    # (several test modules flip it globally) a float64 bias would
+    # promote part of the scan carry and break the fixed-point check.
+    dtype = gyro.dtype
+    accel = jnp.asarray(accel, dtype)
+    dts = jnp.asarray(dts, dtype)
+    gyro_bias = jnp.asarray(gyro_bias, dtype)
+    accel_bias = jnp.asarray(accel_bias, dtype)
     dts = jnp.where(valid, dts, 0.0)
 
     def step(carry, inp):
@@ -118,7 +131,6 @@ def preintegrate(gyro: jnp.ndarray, accel: jnp.ndarray, dts: jnp.ndarray,
         )
         return out, None
 
-    dtype = gyro.dtype
     init = (quat.quat_identity(dtype), jnp.zeros(3, dtype),
             jnp.zeros(3, dtype),
             jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype),
@@ -160,6 +172,7 @@ def predict_state(q, t, v, pre: ImuPreintegration, gravity=GRAVITY):
     (``imu_integration/include/imu_integration/integration.hpp:30-33``).
     """
     dt = pre.dt
+    gravity = jnp.asarray(gravity, t.dtype)
     t_new = t + v * dt + 0.5 * gravity * dt * dt \
         + quat.quat_rotate(q, pre.dp)
     v_new = v + gravity * dt + quat.quat_rotate(q, pre.dv)
@@ -176,6 +189,7 @@ def synthesize_imu(poses_q, poses_t, dt: float, gravity=GRAVITY):
     sample k covers the interval k -> k+1 (zeroth-order hold)."""
     q = jnp.asarray(poses_q)
     t = jnp.asarray(poses_t)
+    gravity = jnp.asarray(gravity, t.dtype)
     n = q.shape[0]
     rel = quat.quat_multiply(quat.quat_conjugate(q[:-1]), q[1:])
     gyro = jax.vmap(quat.log_so3)(rel) / dt
@@ -206,6 +220,7 @@ def imu_factor_residual(pre: ImuPreintegration,
     from the linearization point (first order, no re-integration).
     """
     dt = pre.dt
+    gravity = jnp.asarray(gravity, jnp.asarray(pi).dtype)
     dq = pre.dq
     dv = pre.dv
     dp = pre.dp

@@ -61,6 +61,7 @@ def imu_residual_9(qi, ti, vi, qj, tj, vj, dq, dv, dp, dt,
                    gravity=GRAVITY):
     """[9] residual (theta, v, p) of one preintegrated factor — the
     batched-graph form of fusion.imu.imu_factor_residual."""
+    gravity = jnp.asarray(gravity, jnp.asarray(ti).dtype)
     qi_inv = quat.quat_conjugate(qi)
     rel_q = quat.quat_multiply(qi_inv, qj)
     r_theta = quat.log_so3(

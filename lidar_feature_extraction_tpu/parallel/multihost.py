@@ -60,3 +60,19 @@ def host_local_batch_to_global(mesh: Mesh, local_batch, axis: str = "data"):
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sharding, x),
         local_batch)
+
+
+def replicate_to_global(mesh: Mesh, tree):
+    """Turn identical per-host data into a globally-replicated array.
+
+    Every host must pass the SAME values (e.g. the feature maps each
+    host loaded from the same file, or a deterministic pose graph): the
+    result is one global jax.Array replicated over every device of the
+    mesh, suitable for the replicated operands of pjit'd steps
+    (``distributed.make_batched_localizer`` maps, pose-graph state).
+    """
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        tree)

@@ -76,6 +76,14 @@ class FusedLocalizationPipeline:
         # 47-55).
         self.pose_r = jnp.diag(jnp.asarray([1.0, 1.0, 0.1], dtype)) \
             * cfg.ekf.pose_smoothing_steps
+        # Twist measurement covariance (vx, wz): vehicle-odometry-grade
+        # noise, scaled by smoothing steps like the pose R
+        # (twist_measurement.cpp:70-110). Without twist input the EKF
+        # must infer velocity through the huge hardcoded pose R above
+        # and its prior lags a fast platform — the reference's launch
+        # graph always wires /twist (localization.launch.py:108-185).
+        self.twist_r = jnp.diag(jnp.asarray([0.04, 0.01], dtype)) \
+            * cfg.ekf.twist_smoothing_steps
 
     def _ekf_prior(self) -> Pose:
         pose2d, _, _ = ekf_mod.current_pose_twist(self.ekf)
@@ -90,7 +98,13 @@ class FusedLocalizationPipeline:
                     t=jnp.asarray([x, y, z], self.dtype))
 
     def process_scan(self, xyz: np.ndarray, ring: np.ndarray,
-                     stamp: float) -> ScanResult:
+                     stamp: float,
+                     twist: Optional[tuple] = None) -> ScanResult:
+        """One scan through the closed loop. ``twist`` optionally feeds
+        a (vx, wz) vehicle-odometry measurement for the elapsed
+        interval — the reference's /twist input (SURVEY.md §1
+        topology); without it the EKF learns velocity only through the
+        weak hardcoded pose covariance and its prior lags."""
         ex = self.cfg.extraction
         n = ex.n_rings * ex.max_points_per_ring
         pts = np.zeros((n, 3), np.float32)
@@ -112,6 +126,13 @@ class FusedLocalizationPipeline:
         while self.clock < stamp:
             self.ekf = ekf_mod.predict(self.ekf, self.ekf_dt, self.cfg.ekf)
             self.clock += self.ekf_dt
+
+        # Drain the twist queue (timerCallback order: predict, then
+        # measurements, ekf_localizer.cpp:176-233).
+        if twist is not None:
+            y = jnp.asarray(twist, self.dtype)
+            self.ekf = ekf_mod.update_twist(self.ekf, y, self.twist_r,
+                                            jnp.asarray(0), self.cfg.ekf)
 
         prior = self._ekf_prior()
         result, _feats = self._step(self.maps, image, prior)

@@ -8,20 +8,26 @@ per-voxel geometry, compact surface runs — docs/design.md §8) all
 declare *ATE parity* as their acceptance criterion, which needs a
 ground-truth world to measure against. This module provides it:
 
-- ``make_world``: an urban-canyon-like scene of vertical pole lines
-  (edge features) and a ground plane (surface features), the same
-  geometry family the registration residuals model
+- ``make_world``: an analytic urban-canyon scene — vertical pole
+  cylinders (edge features) over a ground plane (surface features), the
+  same geometry family the registration residuals model
   (``localization/include/lidar_feature_localization/edge.hpp:78-126``,
   ``surface.hpp:96-143``);
-- ``synth_scan``: a sensor-frame scan sampled from the world with
-  plausible ring assignments;
+- ``world_maps``: point-cloud feature maps sampled from the world (what
+  a mapping pass would have produced);
+- ``raycast_scan``: a REAL spinning-LiDAR sweep of the world — per-ray
+  nearest-hit over ground + cylinders, so range images carry genuine
+  smooth arcs, silhouette discontinuities and occlusions. Feature
+  extraction behaves on these exactly as on real scans (curvature /
+  occlusion / parallel-beam logic all see physical structure), which a
+  random subsample of map points cannot provide;
 - ``run_drive``: a closed-loop localization+EKF replay over a scripted
-  trajectory, returning ground-truth and estimated positions.
+  trajectory.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, NamedTuple, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -31,49 +37,114 @@ from lidar_feature_extraction_tpu.core import quaternion as quat
 from lidar_feature_extraction_tpu.core.pose import Pose
 
 
-def make_world(rng: np.random.Generator, n_poles: int = 30,
-               extent: float = 25.0, n_ground: int = 8000,
-               ground_z: float = -1.7, noise: float = 0.01
-               ) -> Tuple[np.ndarray, np.ndarray]:
-    """(edge_points [Ne,3], surface_points [Ns,3]) in the world frame.
+class World(NamedTuple):
+    poles_xy: np.ndarray      # [K, 2] cylinder axes
+    pole_radius: float
+    pole_z: Tuple[float, float]
+    ground_z: float
+    extent: float
+
+
+def make_world(rng: np.random.Generator, n_poles: int = 40,
+               extent: float = 25.0, pole_radius: float = 0.15,
+               ground_z: float = -1.7, min_spacing: float = 3.0) -> World:
+    """Analytic world: ``n_poles`` vertical cylinders on a ground plane.
 
     Ground sits below the sensor (KITTI-like): the ``w.x = -1`` plane
     parameterization (surface.hpp:47) cannot represent planes through
-    the origin, in the reference exactly as here.
+    the origin, in the reference exactly as here. Poles keep a minimum
+    spacing so silhouettes stay distinct at map voxel resolution.
     """
-    zs = np.linspace(-2, 4, 40)
     poles = []
-    for _ in range(n_poles):
+    for _ in range(n_poles * 20):
+        if len(poles) >= n_poles:
+            break
         xy = rng.uniform(-extent, extent, size=2)
-        poles.append(np.concatenate(
-            [np.tile(xy, (len(zs), 1)), zs[:, None]], axis=-1))
-    edge_pts = np.concatenate(poles) + rng.normal(
-        scale=noise, size=(n_poles * len(zs), 3))
-    g = rng.uniform(-extent - 5, extent + 5, size=(n_ground, 2))
+        if poles and np.min(np.linalg.norm(
+                np.asarray(poles) - xy, axis=-1)) < min_spacing:
+            continue
+        poles.append(xy)
+    return World(poles_xy=np.asarray(poles, np.float64),
+                 pole_radius=pole_radius, pole_z=(-2.0, 4.0),
+                 ground_z=ground_z, extent=extent)
+
+
+def world_maps(world: World, rng: np.random.Generator,
+               points_per_pole: int = 60, n_ground: int = 12000,
+               noise: float = 0.01) -> Tuple[np.ndarray, np.ndarray]:
+    """(edge_points [Ne,3], surface_points [Ns,3]): the feature maps a
+    mapping pass over this world would have produced (pole-axis samples
+    for the edge map, ground samples for the surface map)."""
+    zs = np.linspace(world.pole_z[0], world.pole_z[1], points_per_pole)
+    edge = np.concatenate([
+        np.concatenate([np.tile(xy, (points_per_pole, 1)), zs[:, None]],
+                       axis=-1)
+        for xy in world.poles_xy])
+    edge = edge + rng.normal(scale=noise, size=edge.shape)
+    g = rng.uniform(-world.extent - 5, world.extent + 5,
+                    size=(n_ground, 2))
     ground = np.concatenate(
-        [g, ground_z + rng.normal(scale=noise, size=(n_ground, 1))],
+        [g, world.ground_z + rng.normal(scale=noise, size=(n_ground, 1))],
         axis=-1)
-    return edge_pts, ground
+    return edge.astype(np.float64), ground
 
 
-def synth_scan(world_edges: np.ndarray, world_surfs: np.ndarray,
-               pose: Pose, rng: np.random.Generator, n_rings: int = 16,
-               n_edge_samples: int = 400, n_surf_samples: int = 1500
-               ) -> Tuple[np.ndarray, np.ndarray]:
-    """Feature-bearing scan in the sensor frame: a mix of pole hits and
-    ground hits, with plausible ring ids from elevation."""
-    inv = pose.inverse()
-    e_idx = rng.choice(len(world_edges), size=n_edge_samples,
-                       replace=False)
-    s_idx = rng.choice(len(world_surfs), size=n_surf_samples,
-                       replace=False)
-    pts_w = np.concatenate([world_edges[e_idx], world_surfs[s_idx]])
-    pts = np.asarray(inv.apply(jnp.asarray(pts_w, jnp.float32)))
-    d = np.linalg.norm(pts[:, :2], axis=-1)
-    elev = np.arctan2(pts[:, 2], np.maximum(d, 1e-6))
-    frac = (np.radians(15.0) - elev) / np.radians(30.0)
-    ring = np.clip((frac * n_rings).astype(np.int32), 0, n_rings - 1)
-    return pts, ring
+def raycast_scan(world: World, pose: Pose, rng: np.random.Generator,
+                 n_rings: int = 16, n_az: int = 512,
+                 elev_deg: Tuple[float, float] = (15.0, -15.0),
+                 range_noise: float = 0.01, max_range: float = 80.0,
+                 min_range: float = 0.5
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """One spinning-LiDAR sweep from ``pose``: per-ray nearest hit over
+    the ground plane and every pole cylinder (z-extent clipped), with
+    pole-occludes-ground shadowing falling out of the min. Returns
+    (points [M,3] in the SENSOR frame, ring ids [M]) for the valid rays.
+    """
+    elev = np.radians(np.linspace(elev_deg[0], elev_deg[1], n_rings))
+    az = np.linspace(-np.pi, np.pi, n_az, endpoint=False)
+    az = az + rng.uniform(0, 2 * np.pi / n_az)   # dither the grid phase
+    e, a = np.meshgrid(elev, az, indexing="ij")  # [R, P]
+    d_sensor = np.stack([np.cos(e) * np.cos(a), np.cos(e) * np.sin(a),
+                         np.sin(e)], axis=-1)     # [R, P, 3]
+
+    r_mat = np.asarray(quat.quat_to_matrix(pose.q), np.float64)
+    o = np.asarray(pose.t, np.float64)
+    d = d_sensor @ r_mat.T                        # world-frame dirs
+
+    inf = np.float64(np.inf)
+    # Ground-plane hit.
+    dz = d[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ground = np.where(dz < -1e-9, (world.ground_z - o[2]) / dz, inf)
+
+    # Cylinder hits: solve |o_xy + t d_xy - c|^2 = r^2 per pole, keep
+    # the nearest positive root whose hit-z lies in the pole extent.
+    d_xy = d[..., :2].astype(np.float32)          # [R, P, 2]
+    o_xy = o[:2].astype(np.float32)
+    t_pole = np.full(d_xy.shape[:2], inf, np.float32)
+    aa = np.einsum("rpi,rpi->rp", d_xy, d_xy)     # [R, P]
+    for c in world.poles_xy:
+        oc = (o_xy - c).astype(np.float32)
+        b = 2.0 * (d_xy @ oc)
+        cc = float(oc @ oc - world.pole_radius ** 2)
+        disc = b * b - 4.0 * aa * cc
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = (-b - np.sqrt(disc)) / (2.0 * aa)
+        z_hit = o[2] + t * dz
+        ok = ((disc > 0) & (t > min_range)
+              & (z_hit > world.pole_z[0]) & (z_hit < world.pole_z[1]))
+        t_pole = np.where(ok & (t < t_pole), t, t_pole)
+
+    t = np.minimum(t_ground, t_pole)
+    valid = (t > min_range) & (t < max_range)
+    t = np.where(valid, t, max_range)  # keep the arithmetic finite
+    t = t + rng.normal(scale=range_noise, size=t.shape)   # range noise
+
+    hits_w = o + t[..., None] * d                 # [R, P, 3] world frame
+    hits_s = (hits_w - o) @ r_mat                 # sensor frame
+    ring = np.broadcast_to(np.arange(n_rings)[:, None], t.shape)
+    return (hits_s[valid].astype(np.float32),
+            ring[valid].astype(np.int32))
 
 
 def straight_drive(i: int) -> Pose:
@@ -84,25 +155,48 @@ def straight_drive(i: int) -> Pose:
                 t=jnp.asarray(t, jnp.float32))
 
 
-def make_scan_sequence(world_edges: np.ndarray, world_surfs: np.ndarray,
-                       rng: np.random.Generator, n_scans: int,
+def make_scan_sequence(world: World, rng: np.random.Generator,
+                       n_scans: int,
                        trajectory: Callable[[int], Pose] = straight_drive,
-                       n_rings: int = 16, **scan_kwargs
-                       ) -> Tuple[list, np.ndarray]:
-    """Pre-generate one scan sequence so multiple pipeline variants can
-    replay IDENTICAL inputs (required for a fair parity comparison)."""
+                       **scan_kwargs) -> Tuple[list, np.ndarray]:
+    """Pre-generate one ray-cast scan sequence so multiple pipeline
+    variants can replay IDENTICAL inputs (required for a fair parity
+    comparison)."""
     scans = []
     gt = []
     for i in range(n_scans):
         pose = trajectory(i)
-        scans.append(synth_scan(world_edges, world_surfs, pose, rng,
-                                n_rings=n_rings, **scan_kwargs))
+        scans.append(raycast_scan(world, pose, rng, **scan_kwargs))
         gt.append(np.asarray(pose.t))
     return scans, np.stack(gt)
 
 
+def synth_twists(n_scans: int,
+                 trajectory: Callable[[int], Pose] = straight_drive,
+                 period: float = 0.1,
+                 rng: np.random.Generator | None = None,
+                 v_noise: float = 0.1, w_noise: float = 0.01) -> list:
+    """Vehicle-odometry (vx, wz) measurements along the trajectory —
+    the reference's /twist input (its launch graph always wires one,
+    ``lidar_feature_launch/launch/localization.launch.py:108-185``).
+    Noise models wheel-odometry grade sensing."""
+    out = []
+    for i in range(n_scans):
+        a = trajectory(i)
+        b = trajectory(i + 1)
+        vx = float(np.linalg.norm(np.asarray(b.t - a.t)[:2])) / period
+        wz = (float(quat.quat_yaw(b.q)) - float(quat.quat_yaw(a.q))) \
+            / period
+        if rng is not None:
+            vx += rng.normal(scale=v_noise)
+            wz += rng.normal(scale=w_noise)
+        out.append((vx, wz))
+    return out
+
+
 def run_drive(maps, cfg: PipelineConfig, scans: Sequence,
-              scan_period: float = 0.1) -> np.ndarray:
+              scan_period: float = 0.1,
+              twists: Sequence | None = None) -> np.ndarray:
     """Closed-loop replay (localization + EKF feedback, SURVEY.md
     §3.1+§3.2) of a pre-generated scan sequence. Returns the raw
     scan-matcher positions [N, 3]."""
@@ -113,6 +207,8 @@ def run_drive(maps, cfg: PipelineConfig, scans: Sequence,
                                          initial_pose=Pose.identity())
     est = []
     for i, (pts, ring) in enumerate(scans):
-        res = pipeline.process_scan(pts, ring, stamp=scan_period * i)
+        res = pipeline.process_scan(
+            pts, ring, stamp=scan_period * i,
+            twist=None if twists is None else twists[i])
         est.append(np.asarray(res.measured_pose.t))
     return np.stack(est)

@@ -21,6 +21,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <string_view>
 #include <numeric>
 #include <queue>
 #include <random>
@@ -334,10 +335,16 @@ static void fill_neighbors(std::vector<uint8_t>& lab,
 }
 
 // Label one azimuth-sorted ring; returns (#edges, #surfaces).
+// labels_out / curv_out (optional) receive the per-point label vector
+// and squared-convolution curvature for golden dumps.
 static std::pair<int, int> extract_ring(const std::vector<V3>& ring,
                                         const ExtractParams& P,
                                         std::vector<V3>* edges,
-                                        std::vector<V3>* surfaces) {
+                                        std::vector<V3>* surfaces,
+                                        std::vector<uint8_t>* labels_out =
+                                            nullptr,
+                                        std::vector<double>* curv_out =
+                                            nullptr) {
   int n = (int)ring.size();
   int p = P.padding;
   if (n - 2 * p < P.n_blocks) return {0, 0};
@@ -399,6 +406,8 @@ static std::pair<int, int> extract_ring(const std::vector<V3>& ring,
     if (lab[i] == kEdge) { edges->push_back(ring[i]); ne++; }
     if (lab[i] == kSurface) { surfaces->push_back(ring[i]); ns++; }
   }
+  if (labels_out) *labels_out = lab;
+  if (curv_out) *curv_out = curv;
   return {ne, ns};
 }
 
@@ -424,9 +433,10 @@ struct Registrar {
   int max_iter = 40;
   double huber_k = 1.345;
 
-  // One scan-to-map registration; returns iterations used.
+  // One scan-to-map registration; returns iterations used. ``traj``
+  // (optional) records the pose after every iteration (golden dumps).
   int run(const std::vector<V3>& edge_scan, const std::vector<V3>& surf_scan,
-          Pose& pose) const {
+          Pose& pose, std::vector<Pose>* traj = nullptr) const {
     std::vector<V3> nbrs;
     int iters = 0;
     double prev_err = 1e300, prev_scale = 1e300;
@@ -577,6 +587,7 @@ struct Registrar {
                             pose.q.y * pose.q.y + pose.q.z * pose.q.z);
       pose.q = {pose.q.w / qn, pose.q.x / qn, pose.q.y / qn, pose.q.z / qn};
       pose.t = pose.t + dt;
+      if (traj) traj->push_back(pose);
       double dqv = std::sqrt(dqq.x * dqq.x + dqq.y * dqq.y + dqq.z * dqq.z);
       if (dqv < 1e-3 && norm(dt) < 1e-3) break;
     }
@@ -584,9 +595,136 @@ struct Registrar {
   }
 };
 
+// ------------------------------------------------------------ golden mode
+//
+// Second, independent implementation used as a numeric cross-check of
+// the JAX pipeline (tests/test_native_golden.py): load a shared scene
+// from a flat binary file, dump per-ring labels + curvature, the
+// extracted feature points, and the Gauss-Newton pose trajectory.
+//
+// scene file (little-endian):
+//   int32 magic 0x4C475331, int32 R
+//   per ring: int32 n, n*3 float64 xyz (azimuth-sorted, sensor frame)
+//   int32 n_edge_map, n*3 float64 | int32 n_surf_map, n*3 float64
+//   float64[7] prior pose (q wxyz, t xyz)
+// golden file:
+//   int32 R; per ring: int32 n, n uint8 labels, n float64 curvature
+//   int32 n_edges, n*3 float64 | int32 n_surf_ds, n*3 float64
+//   int32 n_traj, n_traj*7 float64 poses (after each GN iteration)
+
+static bool read_i32(FILE* f, int32_t* v) { return fread(v, 4, 1, f) == 1; }
+static bool read_pts(FILE* f, std::vector<V3>* out) {
+  int32_t n;
+  if (!read_i32(f, &n) || n < 0 || n > (1 << 26)) return false;
+  out->resize(n);
+  for (int i = 0; i < n; i++) {
+    double b[3];
+    if (fread(b, 8, 3, f) != 3) return false;
+    (*out)[i] = {b[0], b[1], b[2]};
+  }
+  return true;
+}
+static void write_i32(FILE* f, int32_t v) { fwrite(&v, 4, 1, f); }
+static void write_pts(FILE* f, const std::vector<V3>& pts) {
+  write_i32(f, (int32_t)pts.size());
+  for (const V3& p : pts) {
+    double b[3] = {p.x, p.y, p.z};
+    fwrite(b, 8, 3, f);
+  }
+}
+
+static int golden_main(const char* scene_path, const char* out_path) {
+  FILE* f = std::fopen(scene_path, "rb");
+  if (!f) { std::fprintf(stderr, "cannot open %s\n", scene_path); return 2; }
+  int32_t magic = 0, R = 0;
+  if (!read_i32(f, &magic) || magic != 0x4C475331 || !read_i32(f, &R) ||
+      R <= 0 || R > 4096) {
+    std::fprintf(stderr, "bad scene header\n");
+    return 2;
+  }
+  std::vector<std::vector<V3>> rings(R);
+  for (int r = 0; r < R; r++)
+    if (!read_pts(f, &rings[r])) { std::fprintf(stderr, "bad ring\n"); return 2; }
+  std::vector<V3> edge_map, surf_map;
+  if (!read_pts(f, &edge_map) || !read_pts(f, &surf_map)) {
+    std::fprintf(stderr, "bad maps\n");
+    return 2;
+  }
+  double pb[7];
+  if (fread(pb, 8, 7, f) != 7) { std::fprintf(stderr, "bad prior\n"); return 2; }
+  std::fclose(f);
+
+  ExtractParams P;
+  std::vector<V3> edges, surfaces;
+  std::vector<std::vector<uint8_t>> labels(R);
+  std::vector<std::vector<double>> curvs(R);
+  for (int r = 0; r < R; r++) {
+    labels[r].assign(rings[r].size(), kDefault);
+    curvs[r].assign(rings[r].size(), 0.0);
+    extract_ring(rings[r], P, &edges, &surfaces, &labels[r], &curvs[r]);
+  }
+
+  // Surface downsample (1 m voxel centroid), identical to the bench path.
+  std::vector<V3> surf_ds;
+  {
+    std::vector<std::pair<int64_t, int>> keys(surfaces.size());
+    for (size_t i = 0; i < surfaces.size(); i++) {
+      V3 v = surfaces[i];
+      int64_t kx = (int64_t)std::floor(v.x), ky = (int64_t)std::floor(v.y),
+              kz = (int64_t)std::floor(v.z);
+      keys[i] = {((kx + (1 << 20)) << 42) | ((ky + (1 << 20)) << 21) |
+                     (kz + (1 << 20)),
+                 (int)i};
+    }
+    std::sort(keys.begin(), keys.end());
+    size_t i = 0;
+    while (i < keys.size()) {
+      size_t j = i;
+      V3 acc{};
+      while (j < keys.size() && keys[j].first == keys[i].first) {
+        acc = acc + surfaces[keys[j].second];
+        j++;
+      }
+      surf_ds.push_back((1.0 / (j - i)) * acc);
+      i = j;
+    }
+  }
+
+  Registrar reg;
+  reg.edge_tree.build(edge_map);
+  reg.surf_tree.build(surf_map);
+  Pose pose;
+  pose.q = {pb[0], pb[1], pb[2], pb[3]};
+  pose.t = {pb[4], pb[5], pb[6]};
+  std::vector<Pose> traj;
+  reg.run(edges, surf_ds, pose, &traj);
+
+  FILE* g = std::fopen(out_path, "wb");
+  if (!g) { std::fprintf(stderr, "cannot open %s\n", out_path); return 2; }
+  write_i32(g, R);
+  for (int r = 0; r < R; r++) {
+    write_i32(g, (int32_t)labels[r].size());
+    fwrite(labels[r].data(), 1, labels[r].size(), g);
+    fwrite(curvs[r].data(), 8, curvs[r].size(), g);
+  }
+  write_pts(g, edges);
+  write_pts(g, surf_ds);
+  write_i32(g, (int32_t)traj.size());
+  for (const Pose& p : traj) {
+    double b[7] = {p.q.w, p.q.x, p.q.y, p.q.z, p.t.x, p.t.y, p.t.z};
+    fwrite(b, 8, 7, g);
+  }
+  std::fclose(g);
+  std::fprintf(stderr, "golden: %d rings, %zu edges, %zu surf_ds, %zu iters\n",
+               R, edges.size(), surf_ds.size(), traj.size());
+  return 0;
+}
+
 // ------------------------------------------------------------------ main
 
-int main() {
+int main(int argc, char** argv) {
+  if (argc == 4 && std::string_view(argv[1]) == "--golden")
+    return golden_main(argv[2], argv[3]);
   std::mt19937_64 rng(0);
   std::uniform_real_distribution<double> uni(0, 1);
   auto U = [&](double lo, double hi) { return lo + (hi - lo) * uni(rng); };
