@@ -24,6 +24,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # The sandbox site hook re-registers the axon TPU backend even with
+    # JAX_PLATFORMS=cpu in the environment; honor the env contract by
+    # forcing the platform through jax.config (same as dryrun_multichip).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from bench import build_scene
