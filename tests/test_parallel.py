@@ -11,7 +11,8 @@ from lidar_feature_extraction_tpu.core import quaternion as quat
 from lidar_feature_extraction_tpu.parallel.mesh import make_mesh
 from lidar_feature_extraction_tpu.parallel.pose_graph import (
     Constraints, PoseGraph, constraint_residual,
-    make_distributed_pose_graph_optimizer, optimize_pose_graph)
+    make_distributed_pose_graph_optimizer, optimize_pose_graph,
+    optimize_pose_graph_cg)
 
 
 def chain_graph(rng, k, noise=0.1):
@@ -97,6 +98,58 @@ def test_distributed_matches_single_device():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(out_dist.poses_t),
                                np.asarray(truth.poses_t), atol=2e-2)
+
+
+def test_cg_matches_dense_solver():
+    """The matrix-free preconditioned-CG optimizer must land on the
+    same solution as the dense [6K, 6K] solve (same linearization, same
+    normal equations — only the inner linear solver differs)."""
+    rng = np.random.default_rng(5)
+    init, truth, cons = chain_graph(rng, 20)
+    out_dense = optimize_pose_graph(init, cons, n_iterations=10)
+    out_cg = optimize_pose_graph_cg(init, cons, n_iterations=10,
+                                    n_cg=80)
+    np.testing.assert_allclose(np.asarray(out_cg.poses_t),
+                               np.asarray(out_dense.poses_t), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_cg.poses_t),
+                               np.asarray(truth.poses_t), atol=3e-2)
+
+
+def test_cg_scales_past_dense_comfort_zone():
+    """A 1500-keyframe chain: the dense path would build a 9000x9000
+    Hessian per iteration; CG runs it in [M,6,6] blocks. Converges to
+    the ground-truth chain."""
+    rng = np.random.default_rng(6)
+    init, truth, cons = chain_graph(rng, 1500, noise=0.05)
+    out = optimize_pose_graph_cg(init, cons, n_iterations=4, n_cg=200)
+    err = np.linalg.norm(
+        np.asarray(out.poses_t) - np.asarray(truth.poses_t), axis=-1)
+    assert err.max() < 0.05, err.max()
+
+
+def test_distributed_cg_matches_single_device():
+    n_dev = len(jax.devices())
+    assert n_dev >= 8
+    rng = np.random.default_rng(7)
+    k = 16
+    init, truth, cons = chain_graph(rng, k)
+    m = len(np.asarray(cons.i))
+    pad = (-m) % 8
+    cons_p = Constraints(
+        i=jnp.concatenate([cons.i, jnp.zeros(pad, jnp.int32)]),
+        j=jnp.concatenate([cons.j, jnp.ones(pad, jnp.int32)]),
+        z_q=jnp.concatenate([cons.z_q, jnp.tile(
+            jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (pad, 1))]),
+        z_t=jnp.concatenate([cons.z_t, jnp.zeros((pad, 3), jnp.float32)]),
+        weight=jnp.concatenate([cons.weight, jnp.zeros(pad, jnp.float32)]))
+    mesh = make_mesh(8)
+    run = make_distributed_pose_graph_optimizer(mesh, k, solver="cg")
+    out_dist = run(init, cons_p)
+    out_single = optimize_pose_graph_cg(init, cons_p)
+    np.testing.assert_allclose(np.asarray(out_dist.poses_t),
+                               np.asarray(out_single.poses_t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_dist.poses_t),
+                               np.asarray(truth.poses_t), atol=3e-2)
 
 
 def test_zero_weight_lanes_are_inert():
