@@ -78,7 +78,16 @@ def main():
 
     from lidar_feature_extraction_tpu.config import kitti_hdl64
     from lidar_feature_extraction_tpu.pipeline.odometry import (
-        init_odometry, odometry_step)
+        geometry_odometry_step, init_geometry_odometry, init_odometry,
+        odometry_step)
+
+    # Default: the incremental moment-grid map (geometry_odometry_step);
+    # BENCH_ODOM_MODE=points benches the point-grid kNN path (the direct
+    # analogue of the reference's per-scan KD-tree rebuilds).
+    if os.environ.get("BENCH_ODOM_MODE") == "points":
+        init_fn, step_fn = init_odometry, odometry_step
+    else:
+        init_fn, step_fn = init_geometry_odometry, geometry_odometry_step
 
     cfg = kitti_hdl64()
     n_frames = int(os.environ.get("BENCH_ODOM_FRAMES", "100"))
@@ -91,11 +100,11 @@ def main():
         (a tiny carried perturbation) keeps repeated timing samples
         from being identical dispatches (tunnel cache, BASELINE.md)."""
         e, ev, s, sv = frames
-        state0 = init_odometry(cfg)
+        state0 = init_fn(cfg)
 
         def body(state, frame):
             fe, fev, fs, fsv = frame
-            state, result = odometry_step(
+            state, result = step_fn(
                 state, fe + wobble[None, :], fev, fs + wobble[None, :],
                 fsv, cfg)
             return state, (result.pose.t, result.iterations)

@@ -107,11 +107,15 @@ def _translate_moments(m: jnp.ndarray, o: jnp.ndarray) -> jnp.ndarray:
 
 
 def voxel_moments(xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size,
-                  origin, dims: tuple[int, int, int]) -> jnp.ndarray:
+                  origin, dims: tuple[int, int, int],
+                  weight: jnp.ndarray | None = None) -> jnp.ndarray:
     """Scatter masked points into per-voxel local moments [C, 10].
 
     Local = relative to the owning voxel's center, so the second moments
     stay O(voxel_size^2) and f32-exact regardless of map extent.
+    ``weight`` scales each point's moment row; weight -1 REMOVES a
+    previously inserted point (moments are additive — the basis of the
+    incremental odometry map, pipeline/odometry.py).
     """
     dtype = xyz.dtype
     origin = jnp.asarray(origin, dtype)
@@ -124,10 +128,41 @@ def voxel_moments(xyz: jnp.ndarray, mask: jnp.ndarray, voxel_size,
     center = origin + (c.astype(dtype) + 0.5) * voxel_size
     feats = _point_moments(xyz - center)
     feats = jnp.where(mask[:, None], feats, 0.0)
+    if weight is not None:
+        feats = feats * weight[:, None].astype(dtype)
 
     m = jnp.zeros((capacity + 1, 10), dtype)
     m = m.at[cell].add(feats, mode="drop")
     return m[:capacity]
+
+
+def recenter_moments(m: jnp.ndarray, dims: tuple[int, int, int],
+                     voxel_size, origin, target_center):
+    """Roll a dense moment grid so its center tracks ``target_center``.
+
+    The odometry map must follow the vehicle; instead of rebuilding,
+    the grid is shifted by an integer number of voxels (``jnp.roll``)
+    and the bands that wrapped around (newly entered space) are
+    zeroed. Per-voxel LOCAL moment frames ride along unchanged: the
+    origin moves by exactly the roll distance, so every surviving
+    voxel keeps its absolute center. Returns (m, new_origin)."""
+    dtype = m.dtype
+    nx, ny, nz = dims
+    h = jnp.asarray(voxel_size, dtype)
+    origin = jnp.asarray(origin, dtype)
+    half = jnp.asarray(dims, dtype) * h / 2.0
+    desired = jnp.asarray(target_center, dtype) - half
+    shift = jnp.round((desired - origin) / h).astype(jnp.int32)   # [3]
+
+    g = m.reshape(nx, ny, nz, 10)
+    g = jnp.roll(g, shift=(-shift[0], -shift[1], -shift[2]),
+                 axis=(0, 1, 2))
+    for axis, n_a in enumerate((nx, ny, nz)):
+        idx = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), axis)
+        s = shift[axis]
+        keep = jnp.where(s >= 0, idx < n_a - s, idx >= -s)
+        g = jnp.where(keep[..., None], g, 0.0)
+    return g.reshape(-1, 10), origin + shift.astype(dtype) * h
 
 
 def neighborhood_moments(m: jnp.ndarray, dims: tuple[int, int, int],
@@ -193,17 +228,15 @@ def _mean_cov(m: jnp.ndarray):
     return m[..., 0], mu, cov
 
 
-@partial(jax.jit, static_argnames=("dims",))
-def build_edge_geometry_grid(xyz, mask, voxel_size, origin,
-                             dims: tuple[int, int, int]) -> GeometryGrid:
-    """Fit the neighborhood PCA line of every voxel (batched).
+def edge_records_from_moments(m: jnp.ndarray, dims, voxel_size,
+                              origin) -> jnp.ndarray:
+    """Raw per-voxel moments [C, 10] -> edge records [C + 1, 8].
 
     Record: line point m (neighborhood mean, world frame), unit
     principal axis v — the virtual points of ``Edge::Make``
     (edge.hpp:111-116) are m - v and m + v.
     """
-    dtype = xyz.dtype
-    m = voxel_moments(xyz, mask, voxel_size, origin, dims)
+    dtype = m.dtype
     nb = neighborhood_moments(m, dims, voxel_size)
     n, mu, cov = _mean_cov(nb)
     _, evecs = eigh3x3(cov)
@@ -211,24 +244,19 @@ def build_edge_geometry_grid(xyz, mask, voxel_size, origin,
     centers = _voxel_centers(dims, voxel_size, origin, dtype)
     rec = jnp.concatenate([centers + mu, v, n[:, None],
                            jnp.zeros_like(n[:, None])], axis=-1)
-    rec = jnp.concatenate([rec, jnp.zeros((1, 8), dtype)], axis=0)
-    return GeometryGrid(rec=rec,
-                        voxel_size=jnp.asarray(voxel_size, dtype),
-                        origin=jnp.asarray(origin, dtype), dims=dims)
+    return jnp.concatenate([rec, jnp.zeros((1, 8), dtype)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("dims",))
-def build_surface_geometry_grid(xyz, mask, voxel_size, origin,
-                                dims: tuple[int, int, int]) -> GeometryGrid:
-    """Fit the neighborhood plane of every voxel (batched).
+def surface_records_from_moments(m: jnp.ndarray, dims, voxel_size,
+                                 origin) -> jnp.ndarray:
+    """Raw per-voxel moments [C, 10] -> surface records [C + 1, 8].
 
     Record: unit normal u (smallest covariance eigenvector) and offset
     b = u . p0 through the neighborhood centroid p0. Signed distance of
     a point x is u . x - b — the same residual geometry as
     ``SignedPointPlaneDistance`` (surface.hpp:49-57).
     """
-    dtype = xyz.dtype
-    m = voxel_moments(xyz, mask, voxel_size, origin, dims)
+    dtype = m.dtype
     nb = neighborhood_moments(m, dims, voxel_size)
     n, mu, cov = _mean_cov(nb)
     _, evecs = eigh3x3(cov)
@@ -238,7 +266,28 @@ def build_surface_geometry_grid(xyz, mask, voxel_size, origin,
     b = jnp.sum(u * p0, axis=-1, keepdims=True)
     rec = jnp.concatenate([u, b, n[:, None],
                            jnp.zeros((u.shape[0], 3), dtype)], axis=-1)
-    rec = jnp.concatenate([rec, jnp.zeros((1, 8), dtype)], axis=0)
+    return jnp.concatenate([rec, jnp.zeros((1, 8), dtype)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def build_edge_geometry_grid(xyz, mask, voxel_size, origin,
+                             dims: tuple[int, int, int]) -> GeometryGrid:
+    """Fit the neighborhood PCA line of every voxel (batched)."""
+    dtype = xyz.dtype
+    m = voxel_moments(xyz, mask, voxel_size, origin, dims)
+    rec = edge_records_from_moments(m, dims, voxel_size, origin)
+    return GeometryGrid(rec=rec,
+                        voxel_size=jnp.asarray(voxel_size, dtype),
+                        origin=jnp.asarray(origin, dtype), dims=dims)
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def build_surface_geometry_grid(xyz, mask, voxel_size, origin,
+                                dims: tuple[int, int, int]) -> GeometryGrid:
+    """Fit the neighborhood plane of every voxel (batched)."""
+    dtype = xyz.dtype
+    m = voxel_moments(xyz, mask, voxel_size, origin, dims)
+    rec = surface_records_from_moments(m, dims, voxel_size, origin)
     return GeometryGrid(rec=rec,
                         voxel_size=jnp.asarray(voxel_size, dtype),
                         origin=jnp.asarray(origin, dtype), dims=dims)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -136,14 +137,177 @@ def odometry_step(state: OdometryState, edge_pts, edge_valid, surf_pts,
     return new_state, result
 
 
+class GeometryOdometryState(NamedTuple):
+    """Incremental moment-grid odometry map + rolling eviction window.
+
+    Instead of rebuilding correspondence structures from the merged
+    recent-scans window every update (the reference rebuilds KD-trees
+    per scan, ``recent_scans.hpp:74``; the point-grid path above
+    rebuilds dense voxel grids), the map IS a persistent pair of
+    per-voxel moment grids (ops/geometry_grid.py): moments are
+    additive, so inserting the new scan is one scatter-ADD and
+    evicting the scan leaving the recent-N window is the same scatter
+    with weight -1. The vehicle-following grid re-centers by integer
+    voxel rolls (``recenter_moments``). Per update only the
+    neighborhood box-filter + closed-form fits run over the dense
+    grid — pure VPU passes — and registration re-searches per GN
+    iteration with one 8-float record gather per point, exactly the
+    production localization fast path."""
+
+    edge_m: jnp.ndarray       # [Ce, 10] raw per-voxel moments
+    surf_m: jnp.ndarray       # [Cs, 10]
+    edge_origin: jnp.ndarray  # [3]
+    surf_origin: jnp.ndarray  # [3]
+    edge_window: jnp.ndarray  # [W, E, 3] world-frame inserted points
+    edge_mask: jnp.ndarray    # [W, E]
+    surf_window: jnp.ndarray  # [W, S, 3]
+    surf_mask: jnp.ndarray    # [W, S]
+    slot: jnp.ndarray
+    n_scans: jnp.ndarray
+    pose_q: jnp.ndarray
+    pose_t: jnp.ndarray
+
+
+def init_geometry_odometry(cfg: PipelineConfig,
+                           dtype=jnp.float32) -> GeometryOdometryState:
+    w = cfg.mapping.recent_scans_window
+    e = cfg.extraction.max_edges
+    s = cfg.extraction.max_surfaces
+    reg = cfg.registration
+    dims = reg.odometry_grid_dims
+    cap = dims[0] * dims[1] * dims[2]
+    half_e = np.asarray(dims) * reg.edge_map.voxel_size / 2.0
+    half_s = np.asarray(dims) * reg.surface_map.voxel_size / 2.0
+    return GeometryOdometryState(
+        edge_m=jnp.zeros((cap, 10), dtype),
+        surf_m=jnp.zeros((cap, 10), dtype),
+        edge_origin=jnp.asarray(-half_e, dtype),
+        surf_origin=jnp.asarray(-half_s, dtype),
+        edge_window=jnp.zeros((w, e, 3), dtype),
+        edge_mask=jnp.zeros((w, e), bool),
+        surf_window=jnp.zeros((w, s, 3), dtype),
+        surf_mask=jnp.zeros((w, s), bool),
+        slot=jnp.zeros((), jnp.int32),
+        n_scans=jnp.zeros((), jnp.int32),
+        pose_q=jnp.array([1.0, 0, 0, 0], dtype),
+        pose_t=jnp.zeros(3, dtype))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def geometry_odometry_step(state: GeometryOdometryState, edge_pts,
+                           edge_valid, surf_pts, surf_valid,
+                           cfg: PipelineConfig, prior_q=None,
+                           prior_t=None):
+    """One incremental odometry update: re-center, fit, register,
+    evict + insert. Same ``Odometry::Update`` semantics as
+    ``odometry_step`` (odometry.hpp:52-64) at the production
+    fast path's per-iteration cost."""
+    from lidar_feature_extraction_tpu.ops import geometry_grid as gg
+
+    reg = cfg.registration
+    em, sm = reg.edge_map, reg.surface_map
+    dims = reg.odometry_grid_dims
+    pose = Pose(state.pose_q if prior_q is None else prior_q,
+                state.pose_t if prior_t is None else prior_t)
+    is_first = state.n_scans == 0
+
+    # 1. Grids follow the vehicle (integer-voxel rolls, no rebuild).
+    edge_m, edge_origin = gg.recenter_moments(
+        state.edge_m, dims, em.voxel_size, state.edge_origin, pose.t)
+    surf_m, surf_origin = gg.recenter_moments(
+        state.surf_m, dims, sm.voxel_size, state.surf_origin, pose.t)
+
+    # 2. Finalize per-voxel line/plane fits (box-filter + eig3).
+    edge_grid = gg.GeometryGrid(
+        rec=gg.edge_records_from_moments(edge_m, dims, em.voxel_size,
+                                         edge_origin),
+        voxel_size=jnp.asarray(em.voxel_size, edge_m.dtype),
+        origin=edge_origin, dims=dims)
+    surf_grid = gg.GeometryGrid(
+        rec=gg.surface_records_from_moments(surf_m, dims, sm.voxel_size,
+                                            surf_origin),
+        voxel_size=jnp.asarray(sm.voxel_size, surf_m.dtype),
+        origin=surf_origin, dims=dims)
+
+    surf_ds, surf_ds_valid = voxel_downsample(
+        surf_pts, surf_valid, reg.surface_downsample_leaf,
+        reg.max_surface_points)
+
+    def problem_fn(p: Pose) -> gn.Problem:
+        eb = gg.edge_rows_from_grid(edge_grid, edge_pts, edge_valid, p,
+                                    reg.min_fit_points)
+        sb = gg.surface_rows_from_grid(surf_grid, surf_ds, surf_ds_valid,
+                                       p, reg.min_fit_points)
+        return gn.make_problem([eb, sb])
+
+    result = gn.run_gauss_newton(
+        problem_fn, pose, max_iterations=reg.max_iterations,
+        convergence_tol=reg.convergence_tol, huber_k=reg.huber_k,
+        degeneracy_threshold=reg.degeneracy_threshold)
+
+    new_q = jnp.where(is_first, state.pose_q, result.pose.q)
+    new_t = jnp.where(is_first, state.pose_t, result.pose.t)
+    new_pose = Pose(new_q, new_t)
+
+    # 3. Evict the slot leaving the window and insert the new scan —
+    # ONE signed moment scatter per grid.
+    te = new_pose.apply(edge_pts)
+    ts = new_pose.apply(surf_pts)
+    old_e = jax.lax.dynamic_index_in_dim(state.edge_window, state.slot,
+                                         0, keepdims=False)
+    old_em = jax.lax.dynamic_index_in_dim(state.edge_mask, state.slot,
+                                          0, keepdims=False)
+    old_s = jax.lax.dynamic_index_in_dim(state.surf_window, state.slot,
+                                         0, keepdims=False)
+    old_sm = jax.lax.dynamic_index_in_dim(state.surf_mask, state.slot,
+                                          0, keepdims=False)
+    sign_e = jnp.concatenate([jnp.ones(te.shape[0], te.dtype),
+                              jnp.full(old_e.shape[0], -1.0, te.dtype)])
+    sign_s = jnp.concatenate([jnp.ones(ts.shape[0], ts.dtype),
+                              jnp.full(old_s.shape[0], -1.0, ts.dtype)])
+    edge_m = edge_m + gg.voxel_moments(
+        jnp.concatenate([te, old_e]), jnp.concatenate([edge_valid, old_em]),
+        em.voxel_size, edge_origin, dims, weight=sign_e)
+    surf_m = surf_m + gg.voxel_moments(
+        jnp.concatenate([ts, old_s]), jnp.concatenate([surf_valid, old_sm]),
+        sm.voxel_size, surf_origin, dims, weight=sign_s)
+
+    w = state.edge_window.shape[0]
+    new_state = GeometryOdometryState(
+        edge_m=edge_m, surf_m=surf_m,
+        edge_origin=edge_origin, surf_origin=surf_origin,
+        edge_window=jax.lax.dynamic_update_index_in_dim(
+            state.edge_window, te, state.slot, 0),
+        edge_mask=jax.lax.dynamic_update_index_in_dim(
+            state.edge_mask, edge_valid, state.slot, 0),
+        surf_window=jax.lax.dynamic_update_index_in_dim(
+            state.surf_window, ts, state.slot, 0),
+        surf_mask=jax.lax.dynamic_update_index_in_dim(
+            state.surf_mask, surf_valid, state.slot, 0),
+        slot=(state.slot + 1) % w, n_scans=state.n_scans + 1,
+        pose_q=new_q, pose_t=new_t)
+    return new_state, result
+
+
 class Odometry:
     """Host facade mirroring the C++ ``Odometry`` template, plus the
     IMU-aided prior path the reference's stubbed ``imu_integration``
-    package intended (LIO-SAM lineage, SURVEY.md §2.6)."""
+    package intended (LIO-SAM lineage, SURVEY.md §2.6).
 
-    def __init__(self, cfg: PipelineConfig, dtype=jnp.float32):
+    ``use_geometry=True`` (default) runs the incremental moment-grid
+    map (``geometry_odometry_step``) — the production fast path's
+    registration cost per iteration; ``False`` keeps the point-grid
+    kNN path (``odometry_step``), the direct analogue of the
+    reference's merged-window KD-trees."""
+
+    def __init__(self, cfg: PipelineConfig, dtype=jnp.float32,
+                 use_geometry: bool = True):
         self.cfg = cfg
-        self.state = init_odometry(cfg, dtype)
+        self.use_geometry = use_geometry
+        self._step = (geometry_odometry_step if use_geometry
+                      else odometry_step)
+        self.state = (init_geometry_odometry(cfg, dtype) if use_geometry
+                      else init_odometry(cfg, dtype))
         self.velocity = jnp.zeros(3, dtype)
         self._last_pose: Pose | None = None
         self._preintegrate = jax.jit(
@@ -153,11 +317,11 @@ class Odometry:
     def update(self, edge_pts, edge_valid, surf_pts, surf_valid,
                prior: Pose | None = None):
         if prior is None:
-            self.state, result = odometry_step(
+            self.state, result = self._step(
                 self.state, edge_pts, edge_valid, surf_pts, surf_valid,
                 self.cfg)
         else:
-            self.state, result = odometry_step(
+            self.state, result = self._step(
                 self.state, edge_pts, edge_valid, surf_pts, surf_valid,
                 self.cfg, prior_q=prior.q, prior_t=prior.t)
         return result

@@ -2,6 +2,8 @@
 localization recovers a perturbed pose; mapping accumulates keyframes;
 odometry tracks motion over a short sequence."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -157,6 +159,58 @@ def test_odometry_tracks_simple_motion():
     want = true_poses[-1]
     t_err = np.linalg.norm(np.asarray(est.t - want.t))
     assert t_err < 0.15, t_err
+
+
+def test_geometry_odometry_matches_point_path_and_evicts():
+    """The incremental moment-grid odometry must (a) track like the
+    point-grid kNN path on the same inputs, and (b) maintain the
+    eviction invariant: after the recent-N window wraps, the moment
+    grid equals a fresh scatter of exactly the points still in the
+    window (scans that left the window are really gone — within f32
+    add/subtract residue)."""
+    from lidar_feature_extraction_tpu.ops import geometry_grid as gg
+    from lidar_feature_extraction_tpu.pipeline.odometry import (
+        init_geometry_odometry)
+
+    rng = np.random.default_rng(11)
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, mapping=dataclasses.replace(cfg.mapping,
+                                         recent_scans_window=3))
+    world_edges, world_surfs = make_world(rng)
+
+    geo = Odometry(cfg, use_geometry=True)
+    pts_ref = Odometry(cfg, use_geometry=False)
+    n_steps = 6   # > window: forces eviction
+    for step in range(n_steps):
+        yaw = 0.02 * step
+        t = np.array([0.4 * step, 0.05 * step, 0.0])
+        pose = Pose(q=quat.exp_so3(jnp.asarray([0, 0, yaw], jnp.float32)),
+                    t=jnp.asarray(t, jnp.float32))
+        e, s = sample_scan_features(world_edges, world_surfs, pose, rng,
+                                    n_e=200, n_s=500)
+        e_pts, e_valid = pad_to(e, cfg.extraction.max_edges)
+        s_pts, s_valid = pad_to(s, cfg.extraction.max_surfaces)
+        geo.update(e_pts, e_valid, s_pts, s_valid)
+        pts_ref.update(e_pts, e_valid, s_pts, s_valid)
+
+    want = np.array([0.4 * (n_steps - 1), 0.05 * (n_steps - 1), 0.0])
+    assert np.linalg.norm(np.asarray(geo.pose.t) - want) < 0.15
+    assert np.linalg.norm(np.asarray(geo.pose.t)
+                          - np.asarray(pts_ref.pose.t)) < 0.15
+
+    # Eviction invariant.
+    st = geo.state
+    dims = cfg.registration.odometry_grid_dims
+    for m, origin, window, mask, vox in (
+            (st.edge_m, st.edge_origin, st.edge_window, st.edge_mask,
+             cfg.registration.edge_map.voxel_size),
+            (st.surf_m, st.surf_origin, st.surf_window, st.surf_mask,
+             cfg.registration.surface_map.voxel_size)):
+        fresh = gg.voxel_moments(window.reshape(-1, 3),
+                                 mask.reshape(-1), vox, origin, dims)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(fresh),
+                                   atol=5e-3)
 
 
 def test_pcd_roundtrip(tmp_path):
