@@ -88,9 +88,112 @@ def main():
         out["production_kitti_hdl64"]["ate_rmse_m"]
         / max(out["faithful"]["ate_rmse_m"], 1e-9), 3)
     out["n_scans"] = len(scans)
+
+    out["slam_loop"] = eval_slam_loop(production, world, rng)
+    print("slam_loop", out["slam_loop"], flush=True)
+    out["slam_loop_imu"] = eval_slam_loop(production, world, rng,
+                                          with_imu=True)
+    print("slam_loop_imu", out["slam_loop_imu"], flush=True)
+
     with open("ATE_EVAL.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+
+
+def eval_slam_loop(cfg, world, rng, n_scans: int = 80,
+                   radius: float = 10.0, with_imu: bool = False,
+                   scan_period: float = 0.1):
+    """Full mapping workload (BASELINE row 4): odometry front-end +
+    keyframes + loop closure + pose-graph back-end over a closed
+    circular drive on the ray-cast world; ATE of the optimized
+    keyframe trajectory vs ground truth. ``with_imu`` feeds synthesized
+    IMU windows (fusion/imu.py) as scan-matcher priors and keyframe
+    factors — the LIO-SAM-style configuration the reference's stubbed
+    imu_integration package intended."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_feature_extraction_tpu.core import quaternion as quat
+    from lidar_feature_extraction_tpu.core.pose import Pose
+    from lidar_feature_extraction_tpu.core.scan import build_range_image
+    from lidar_feature_extraction_tpu.fusion import imu as imu_mod
+    from lidar_feature_extraction_tpu.ops.extraction import (
+        extract_features)
+    from lidar_feature_extraction_tpu.pipeline.slam import MappingPipeline
+    from lidar_feature_extraction_tpu.utils import worldsim
+    from lidar_feature_extraction_tpu.utils.evaluation import ate_rmse
+
+    ex = cfg.extraction
+    n = ex.n_rings * ex.max_points_per_ring
+    extract = jax.jit(lambda im: extract_features(im, ex))
+
+    def gt_pose(i):
+        th = 2 * np.pi * i / n_scans
+        t = np.array([radius * np.sin(th), radius * (1 - np.cos(th)),
+                      0.0])
+        return Pose(q=quat.exp_so3(jnp.asarray([0, 0, th], jnp.float32)),
+                    t=jnp.asarray(t, jnp.float32))
+
+    gyro = accel = dts = None
+    sub = 20                      # IMU substeps per scan interval
+    if with_imu:
+        fine = [gt_pose(k / sub) for k in range(n_scans * sub + 1)]
+        q_f = jnp.stack([p.q for p in fine])
+        t_f = jnp.stack([p.t for p in fine])
+        gyro, accel, dts, _v0 = imu_mod.synthesize_imu(
+            q_f, t_f, scan_period / sub)
+        gyro = np.asarray(gyro) + rng.normal(scale=1e-3,
+                                             size=gyro.shape)
+        accel = np.asarray(accel) + rng.normal(scale=1e-2,
+                                               size=accel.shape)
+        dts = np.asarray(dts)
+
+    pipeline = MappingPipeline(cfg, loop_radius=6.0, loop_min_gap=10,
+                               optimize_every=8)
+    t0 = time.time()
+    for i in range(n_scans):
+        pose = gt_pose(i)
+        pts, ring = worldsim.raycast_scan(world, pose, rng, n_rings=64,
+                                          n_az=2048,
+                                          elev_deg=(2.0, -24.8))
+        buf = np.zeros((n, 3), np.float32)
+        rid = np.zeros(n, np.int32)
+        val = np.zeros(n, bool)
+        m = min(len(pts), n)
+        buf[:m] = pts[:m]
+        rid[:m] = ring[:m]
+        val[:m] = True
+        image = build_range_image(
+            jnp.asarray(buf), jnp.asarray(rid), jnp.asarray(val),
+            ex.n_rings, ex.max_points_per_ring,
+            min_points_per_ring=ex.padding + 1)
+        feats = extract(image)
+        if with_imu and i >= 1:
+            sl = slice((i - 1) * sub, i * sub)
+            pipeline.process_scan(
+                feats.edge_xyz, feats.edge_valid,
+                feats.surface_xyz, feats.surface_valid,
+                stamp=float(i) * scan_period,
+                imu_gyro=gyro[sl], imu_accel=accel[sl],
+                imu_dts=dts[sl])
+        else:
+            pipeline.process_scan(feats.edge_xyz, feats.edge_valid,
+                                  feats.surface_xyz, feats.surface_valid,
+                                  stamp=float(i) * scan_period)
+    pipeline.optimize()
+
+    est = pipeline.trajectory
+    gt = np.stack([np.asarray(gt_pose(round(kf.stamp / scan_period)).t)
+                   for kf in pipeline.keyframes])
+    n_chain = len(pipeline.keyframes) - 1
+    return {
+        "ate_rmse_m": round(ate_rmse(est, gt, align=False), 4),
+        "n_keyframes": len(pipeline.keyframes),
+        "n_loop_constraints": len(pipeline.constraints) - n_chain,
+        "wall_s": round(time.time() - t0, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -161,10 +161,18 @@ def run_gauss_newton(
     convergence_tol: float = 1e-3,
     huber_k: float = 1.345,
     degeneracy_threshold: float = 0.1,
+    abort_on_increase: bool = True,
 ) -> GNResult:
     """Iterate GN with recomputed correspondences until convergence or an
     abort condition, inside ``lax.while_loop``. ``problem_fn`` is traced
-    once; it must be shape-stable."""
+    once; it must be shape-stable.
+
+    ``abort_on_increase=False`` disables the error/scale-increase
+    aborts (EMPTY_INPUT still terminates): correct for basin-crawling
+    registrations like loop-closure candidates, where early iterations
+    legitimately raise the total error as the correspondence set churns
+    toward the true alignment — the reference's aborts assume an
+    online tracker already near its optimum (optimizer.hpp:93-108)."""
 
     dtype = initial_pose.t.dtype
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
@@ -185,8 +193,9 @@ def run_gauss_newton(
         normalized = errors / (scale + 1e-16)
 
         empty = n_valid == 0
-        err_up = error > prev_error
-        scale_up = scale > prev_scale
+        allow_abort = jnp.asarray(abort_on_increase)
+        err_up = (error > prev_error) & allow_abort
+        scale_up = (scale > prev_scale) & allow_abort
 
         weights = stats.huber_derivative(normalized, huber_k)
         dx = weighted_update(q, weights, problem, degeneracy_threshold)

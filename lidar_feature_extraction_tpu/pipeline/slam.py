@@ -56,7 +56,8 @@ class MappingPipeline:
                  optimize_every: int = 10,
                  loop_inlier_threshold: float = 0.3,
                  loop_min_inlier_frac: float = 0.6,
-                 loop_min_matches: int = 50):
+                 loop_min_matches: int = 50,
+                 loop_min_edge_matches: int = 20):
         self.cfg = cfg
         self.odometry = Odometry(cfg)
         self.keyframes: list[Keyframe] = []
@@ -74,6 +75,7 @@ class MappingPipeline:
         self.loop_inlier_threshold = loop_inlier_threshold
         self.loop_min_inlier_frac = loop_min_inlier_frac
         self.loop_min_matches = loop_min_matches
+        self.loop_min_edge_matches = loop_min_edge_matches
         self._optimized: Optional[PoseGraph] = None
         self._kf_since_opt = 0
         # IMU: raw samples buffered between keyframes; preintegrated
@@ -203,6 +205,41 @@ class MappingPipeline:
 
         prior = relative_pose(target.pose, kf.pose)
 
+        # Coarse-to-fine pyramid: the prior between a loop pair carries
+        # the WHOLE accumulated odometry drift (meters after a long
+        # loop), which exceeds the fine grids' 3x3x3-voxel candidate
+        # reach — without these stages real closures are rejected
+        # exactly when they matter most. Each stage registers against
+        # scaled-voxel grids (4x then 2x: candidate reach ±6/±3 edge
+        # voxels) to pull the pose into the next basin; the final fine
+        # registration below still gates acceptance.
+        for scale in (4.0, 2.0):
+            coarse_e = vg.build_voxel_grid(
+                target.edge_pts, target.edge_valid,
+                scale * em.voxel_size, -scale * half_e, dims,
+                em.points_per_voxel)
+            coarse_s = vg.build_voxel_grid(
+                target.surf_pts, target.surf_valid,
+                scale * sm.voxel_size, -scale * half_s, dims,
+                sm.points_per_voxel)
+
+            def coarse_problem_fn(p: Pose, ce=coarse_e,
+                                  cs=coarse_s) -> gn.Problem:
+                eb = edge_residuals(ce, kf.edge_pts, kf.edge_valid, p,
+                                    reg.n_neighbors)
+                sb = surface_residuals(cs, surf_ds, surf_ds_valid, p,
+                                       reg.n_neighbors)
+                return gn.make_problem([eb, sb])
+
+            coarse = gn.run_gauss_newton(
+                coarse_problem_fn, prior,
+                max_iterations=reg.max_iterations,
+                convergence_tol=reg.convergence_tol, huber_k=reg.huber_k,
+                degeneracy_threshold=reg.degeneracy_threshold,
+                abort_on_increase=False)
+            if int(coarse.status) in (gn.CONVERGED, gn.MAX_ITERATIONS):
+                prior = coarse.pose
+
         def problem_fn(p: Pose) -> gn.Problem:
             eb = edge_residuals(edge_map, kf.edge_pts, kf.edge_valid, p,
                                 reg.n_neighbors)
@@ -210,10 +247,14 @@ class MappingPipeline:
                                    reg.n_neighbors)
             return gn.make_problem([eb, sb])
 
+        # Error-increase aborts off here too: the inlier-fraction gate
+        # below (not the online tracker's abort heuristics) is the
+        # acceptance authority for loop candidates.
         result = gn.run_gauss_newton(
             problem_fn, prior, max_iterations=reg.max_iterations,
             convergence_tol=reg.convergence_tol, huber_k=reg.huber_k,
-            degeneracy_threshold=reg.degeneracy_threshold)
+            degeneracy_threshold=reg.degeneracy_threshold,
+            abort_on_increase=False)
         if int(result.status) != gn.CONVERGED:
             return None
 
@@ -221,15 +262,35 @@ class MappingPipeline:
         # correspondences survive, and what fraction of them lie within
         # the inlier radius. A wrong-but-converged registration (aliased
         # geometry) fails here; a right one on these feature densities
-        # has inlier fractions near 1.
-        problem = problem_fn(result.pose)
-        valid = np.asarray(problem.valid)
-        errors = np.asarray(problem.errors)
-        n_valid = int(valid.sum())
+        # has inlier fractions near 1. The gate is evaluated PER
+        # FEATURE CLASS: a single dominant ground plane aligns with any
+        # other ground plane (surfaces only constrain z/roll/pitch), so
+        # surface inliers alone cannot certify a closure — the EDGE
+        # correspondences, which pin x/y/yaw, must independently agree.
+        eb = edge_residuals(edge_map, kf.edge_pts, kf.edge_valid,
+                            result.pose, reg.n_neighbors)
+        sb = surface_residuals(surf_map, surf_ds, surf_ds_valid,
+                               result.pose, reg.n_neighbors)
+        stats = []
+        for block, dist_scale in ((eb, 2.0), (sb, 1.0)):
+            # Edge residual = (p-p1)x(p-p2) with |p2-p1| = 2 -> its
+            # norm is 2x the point-line distance; surface residual is
+            # the point-plane distance itself.
+            valid = np.asarray(block.valid)
+            err = np.linalg.norm(np.asarray(block.residual),
+                                 axis=-1) / dist_scale
+            nv = int(valid.sum())
+            inl = float((valid & (err < self.loop_inlier_threshold)
+                         ).sum()) / max(nv, 1)
+            stats.append((nv, inl))
+        (n_edge, inl_edge), (n_surf, inl_surf) = stats
+        n_valid = n_edge + n_surf
         if n_valid < self.loop_min_matches:
             return None
-        inlier = valid & (errors < self.loop_inlier_threshold ** 2)
-        inlier_frac = float(inlier.sum()) / n_valid
+        if n_edge < self.loop_min_edge_matches \
+                or inl_edge < self.loop_min_inlier_frac:
+            return None
+        inlier_frac = (n_edge * inl_edge + n_surf * inl_surf) / n_valid
         if inlier_frac < self.loop_min_inlier_frac:
             return None
         # Constraint weight = inlier fraction: a marginal closure never
@@ -240,12 +301,26 @@ class MappingPipeline:
 
     # ---- back end --------------------------------------------------
 
+    @staticmethod
+    def _gnc_schedule(robust_delta, n_iterations):
+        """[(delta, n_iterations), ...] for graduated non-convexity."""
+        if robust_delta is None:
+            return [(None, n_iterations)]
+        n = max(n_iterations // 3, 1)
+        return [(16.0 * robust_delta, n), (4.0 * robust_delta, n),
+                (robust_delta, max(n_iterations - 2 * n, 1))]
+
     def optimize(self, n_iterations: int = 10,
                  robust_delta: float | None = 0.5) -> None:
         """Pose-graph Gauss-Newton over all keyframes (chain + loop
         constraints), with a Geman-McClure kernel (``robust_delta``) so
         any outlier constraint that survived the acceptance gate is
-        down-weighted rather than trusted. Single-device here; the
+        down-weighted rather than trusted. The kernel is applied with a
+        graduated-non-convexity schedule (delta 16x -> 4x -> 1x): a
+        GENUINE loop closure's residual at the unoptimized poses is the
+        whole accumulated drift, and starting at the final delta would
+        redescend its weight to ~0 before the graph ever moves — the
+        classic robust-IRLS local minimum. Single-device here; the
         sharded variant is
         parallel/pose_graph.make_distributed_pose_graph_optimizer."""
         k = len(self.keyframes)
@@ -288,16 +363,22 @@ class MappingPipeline:
             vels = jnp.asarray(np.concatenate([v, v[-1:]]), jnp.float32)
             graph9 = ImuGraph(poses_q=poses_q, poses_t=poses_t,
                               vels=vels)
-            out9 = optimize_imu_graph(graph9, cons, imu,
-                                      n_iterations=n_iterations,
-                                      robust_delta=robust_delta)
-            out = PoseGraph(poses_q=out9.poses_q, poses_t=out9.poses_t)
-            self._vels = np.asarray(out9.vels)
+            for delta, n_it in self._gnc_schedule(robust_delta,
+                                                  n_iterations):
+                graph9 = optimize_imu_graph(graph9, cons, imu,
+                                            n_iterations=n_it,
+                                            robust_delta=delta)
+            out = PoseGraph(poses_q=graph9.poses_q,
+                            poses_t=graph9.poses_t)
+            self._vels = np.asarray(graph9.vels)
         else:
             graph = PoseGraph(poses_q=poses_q, poses_t=poses_t)
-            out = optimize_pose_graph(graph, cons,
-                                      n_iterations=n_iterations,
-                                      robust_delta=robust_delta)
+            for delta, n_it in self._gnc_schedule(robust_delta,
+                                                  n_iterations):
+                graph = optimize_pose_graph(graph, cons,
+                                            n_iterations=n_it,
+                                            robust_delta=delta)
+            out = graph
         self._optimized = out
         # Write back optimized poses.
         self.keyframes = [
