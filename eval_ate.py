@@ -109,84 +109,22 @@ def eval_slam_loop(cfg, world, rng, n_scans: int = 80,
     keyframe trajectory vs ground truth. ``with_imu`` feeds synthesized
     IMU windows (fusion/imu.py) as scan-matcher priors and keyframe
     factors — the LIO-SAM-style configuration the reference's stubbed
-    imu_integration package intended."""
+    imu_integration package intended. Delegates to
+    ``worldsim.run_mapping_drive`` (shared with the reduced-shape CI
+    regression, tests/test_slam_drive.py)."""
     import time
 
-    import jax
-    import jax.numpy as jnp
-
-    from lidar_feature_extraction_tpu.core import quaternion as quat
-    from lidar_feature_extraction_tpu.core.pose import Pose
-    from lidar_feature_extraction_tpu.core.scan import build_range_image
-    from lidar_feature_extraction_tpu.fusion import imu as imu_mod
-    from lidar_feature_extraction_tpu.ops.extraction import (
-        extract_features)
-    from lidar_feature_extraction_tpu.pipeline.slam import MappingPipeline
     from lidar_feature_extraction_tpu.utils import worldsim
     from lidar_feature_extraction_tpu.utils.evaluation import ate_rmse
 
-    ex = cfg.extraction
-    n = ex.n_rings * ex.max_points_per_ring
-    extract = jax.jit(lambda im: extract_features(im, ex))
-
-    def gt_pose(i):
-        th = 2 * np.pi * i / n_scans
-        t = np.array([radius * np.sin(th), radius * (1 - np.cos(th)),
-                      0.0])
-        return Pose(q=quat.exp_so3(jnp.asarray([0, 0, th], jnp.float32)),
-                    t=jnp.asarray(t, jnp.float32))
-
-    gyro = accel = dts = None
-    sub = 20                      # IMU substeps per scan interval
-    if with_imu:
-        fine = [gt_pose(k / sub) for k in range(n_scans * sub + 1)]
-        q_f = jnp.stack([p.q for p in fine])
-        t_f = jnp.stack([p.t for p in fine])
-        gyro, accel, dts, _v0 = imu_mod.synthesize_imu(
-            q_f, t_f, scan_period / sub)
-        gyro = np.asarray(gyro) + rng.normal(scale=1e-3,
-                                             size=gyro.shape)
-        accel = np.asarray(accel) + rng.normal(scale=1e-2,
-                                               size=accel.shape)
-        dts = np.asarray(dts)
-
-    pipeline = MappingPipeline(cfg, loop_radius=6.0, loop_min_gap=10,
-                               optimize_every=8)
     t0 = time.time()
-    for i in range(n_scans):
-        pose = gt_pose(i)
-        pts, ring = worldsim.raycast_scan(world, pose, rng, n_rings=64,
-                                          n_az=2048,
-                                          elev_deg=(2.0, -24.8))
-        buf = np.zeros((n, 3), np.float32)
-        rid = np.zeros(n, np.int32)
-        val = np.zeros(n, bool)
-        m = min(len(pts), n)
-        buf[:m] = pts[:m]
-        rid[:m] = ring[:m]
-        val[:m] = True
-        image = build_range_image(
-            jnp.asarray(buf), jnp.asarray(rid), jnp.asarray(val),
-            ex.n_rings, ex.max_points_per_ring,
-            min_points_per_ring=ex.padding + 1)
-        feats = extract(image)
-        if with_imu and i >= 1:
-            sl = slice((i - 1) * sub, i * sub)
-            pipeline.process_scan(
-                feats.edge_xyz, feats.edge_valid,
-                feats.surface_xyz, feats.surface_valid,
-                stamp=float(i) * scan_period,
-                imu_gyro=gyro[sl], imu_accel=accel[sl],
-                imu_dts=dts[sl])
-        else:
-            pipeline.process_scan(feats.edge_xyz, feats.edge_valid,
-                                  feats.surface_xyz, feats.surface_valid,
-                                  stamp=float(i) * scan_period)
-    pipeline.optimize()
-
+    pipeline, gt = worldsim.run_mapping_drive(
+        world, cfg, rng, n_scans=n_scans, radius=radius,
+        scan_period=scan_period, with_imu=with_imu,
+        pipeline_kwargs=dict(loop_radius=6.0, loop_min_gap=10,
+                             optimize_every=8),
+        n_rings=64, n_az=2048, elev_deg=(2.0, -24.8))
     est = pipeline.trajectory
-    gt = np.stack([np.asarray(gt_pose(round(kf.stamp / scan_period)).t)
-                   for kf in pipeline.keyframes])
     n_chain = len(pipeline.keyframes) - 1
     return {
         "ate_rmse_m": round(ate_rmse(est, gt, align=False), 4),

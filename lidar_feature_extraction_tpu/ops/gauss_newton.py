@@ -53,6 +53,21 @@ class GNResult(NamedTuple):
     iterations: jnp.ndarray  # int32
     error: jnp.ndarray       # sum of squared residual norms
     scale: jnp.ndarray       # MAD scale of the error vector
+    # Weighted manifold Hessian M^T A M [6, 6] at the returned pose —
+    # the registration's natural information matrix (the quantity the
+    # reference inverts in WeightedUpdate, optimizer.cpp:40-72, and the
+    # measurement covariance its EKF consumes downstream,
+    # pose_measurement.cpp:38-55). Tangent coordinates: (dtheta_right,
+    # dt_world), the update parameterization of run_gauss_newton.
+    hessian: jnp.ndarray | None = None
+    # Per-residual-block masked median of the squared residual norms at
+    # the returned pose ([n_blocks], static block order of
+    # make_problem). Total error cannot flag a wrong-but-converged
+    # registration when one feature class dominates (a ground plane
+    # fits any ground plane); the per-class medians can — the caller's
+    # fitness gates read these (pipeline/odometry.py re-seed gate,
+    # pipeline/slam.py loop acceptance).
+    block_errors: jnp.ndarray | None = None
 
 
 class Problem(NamedTuple):
@@ -126,11 +141,14 @@ def make_m(q: jnp.ndarray) -> jnp.ndarray:
 
 def weighted_update(q: jnp.ndarray, weights: jnp.ndarray,
                     problem: Problem,
-                    degeneracy_threshold: float) -> jnp.ndarray:
+                    degeneracy_threshold: float):
     """One GN solve: dx = -(M^T A M)^{-1} M^T b, or zero when the
     unweighted Hessian is degenerate. Parity: WeightedUpdate
     (optimizer.cpp:40-72). The three reductions are [7, M] x [M, 7]
-    matmuls over the jacobian rows (MXU) with per-row weight scaling."""
+    matmuls over the jacobian rows (MXU) with per-row weight scaling.
+
+    Returns ``(dx [6], H [6, 6])`` with H the weighted manifold Hessian
+    M^T A M — the registration's information matrix."""
     dtype = problem.jac_rows.dtype
     w = jnp.where(problem.valid, weights, 0.0)
     vf = problem.valid.astype(dtype)
@@ -151,7 +169,7 @@ def weighted_update(q: jnp.ndarray, weights: jnp.ndarray,
 
     degenerate = smallalg.min_eigval_below(D, degeneracy_threshold)
     bad = degenerate | ~jnp.all(jnp.isfinite(dx))
-    return jnp.where(bad, jnp.zeros_like(dx), dx)
+    return jnp.where(bad, jnp.zeros_like(dx), dx), H
 
 
 def run_gauss_newton(
@@ -178,11 +196,11 @@ def run_gauss_newton(
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     def cond(state):
-        _, _, _, _, it, status = state
+        _, _, _, _, it, status, _, _ = state
         return (status < 0) & (it < max_iterations)
 
     def body(state):
-        q, t, prev_error, prev_scale, it, status = state
+        q, t, prev_error, prev_scale, it, status, _, _ = state
         pose = Pose(q, t)
         problem = problem_fn(pose)
 
@@ -192,13 +210,23 @@ def run_gauss_newton(
         scale = stats.masked_scale_bisect(problem.errors, problem.valid)
         normalized = errors / (scale + 1e-16)
 
+        # Per-block error medians (see GNResult.block_errors).
+        meds, off = [], 0
+        for n_b, _ in problem.shape:
+            meds.append(stats._wide_median(
+                problem.errors[off:off + n_b],
+                problem.valid[off:off + n_b]))
+            off += n_b
+        block_meds = jnp.stack(meds)
+
         empty = n_valid == 0
         allow_abort = jnp.asarray(abort_on_increase)
         err_up = (error > prev_error) & allow_abort
         scale_up = (scale > prev_scale) & allow_abort
 
         weights = stats.huber_derivative(normalized, huber_k)
-        dx = weighted_update(q, weights, problem, degeneracy_threshold)
+        dx, hess = weighted_update(q, weights, problem,
+                                   degeneracy_threshold)
         dq = quat.exp_so3(dx[:3])
         dt = dx[3:]
         q_new = quat.quat_normalize(quat.quat_multiply(q, dq))
@@ -218,15 +246,27 @@ def run_gauss_newton(
         t_out = jnp.where(abort, t, t_new)
         prev_error = jnp.where(abort, prev_error, error)
         prev_scale = jnp.where(abort, prev_scale, scale)
+        # hess is evaluated at the body-entry pose, which IS the
+        # returned pose on every abort path (and within tol of it on
+        # convergence) — so the last body's Hessian is always the
+        # information at the result.
         return (q_out, t_out, prev_error, prev_scale, it + 1,
-                new_status.astype(jnp.int32))
+                new_status.astype(jnp.int32), hess, block_meds)
 
+    # Block count via an abstract trace (no runtime cost): the static
+    # tuple structure of Problem.shape survives eval_shape.
+    n_blocks = len(jax.eval_shape(
+        lambda q, t: problem_fn(Pose(q, t)),
+        initial_pose.q, initial_pose.t).shape)
     init = (initial_pose.q.astype(dtype), initial_pose.t.astype(dtype),
-            big, big, jnp.asarray(0, jnp.int32), jnp.asarray(-1, jnp.int32))
-    q, t, error, scale, it, status = jax.lax.while_loop(cond, body, init)
+            big, big, jnp.asarray(0, jnp.int32), jnp.asarray(-1, jnp.int32),
+            jnp.zeros((6, 6), dtype), jnp.full((n_blocks,), big, dtype))
+    q, t, error, scale, it, status, hess, block_meds = jax.lax.while_loop(
+        cond, body, init)
     status = jnp.where(status < 0, MAX_ITERATIONS, status)
     return GNResult(pose=Pose(q, t), status=status, iterations=it,
-                    error=error, scale=scale)
+                    error=error, scale=scale, hessian=hess,
+                    block_errors=block_meds)
 
 
 class GNStep(NamedTuple):
@@ -238,6 +278,7 @@ class GNStep(NamedTuple):
     n_valid: jnp.ndarray   # valid correspondence count
     dq_norm: jnp.ndarray   # |dq.vec| of the applied update
     dt_norm: jnp.ndarray   # |dt|
+    hessian: jnp.ndarray | None = None  # M^T A M [6, 6] at input pose
 
 
 def gn_iteration(problem: Problem, pose: Pose,
@@ -257,13 +298,14 @@ def gn_iteration(problem: Problem, pose: Pose,
     scale = stats.masked_scale_bisect(problem.errors, problem.valid)
     normalized = errors / (scale + 1e-16)
     weights = stats.huber_derivative(normalized, huber_k)
-    dx = weighted_update(pose.q, weights, problem, degeneracy_threshold)
+    dx, hess = weighted_update(pose.q, weights, problem,
+                               degeneracy_threshold)
     dq = quat.exp_so3(dx[:3])
     q_new = quat.quat_normalize(quat.quat_multiply(pose.q, dq))
     return GNStep(pose=Pose(q_new, pose.t + dx[3:]),
                   error=error, scale=scale, n_valid=n_valid,
                   dq_norm=jnp.linalg.norm(dq[1:]),
-                  dt_norm=jnp.linalg.norm(dx[3:]))
+                  dt_norm=jnp.linalg.norm(dx[3:]), hessian=hess)
 
 
 def run_gauss_newton_host(step_fn, initial_pose: Pose,
@@ -287,18 +329,21 @@ def run_gauss_newton_host(step_fn, initial_pose: Pose,
             return GNResult(pose=pose, status=jnp.asarray(EMPTY_INPUT),
                             iterations=jnp.asarray(it),
                             error=jnp.asarray(error),
-                            scale=jnp.asarray(scale))
+                            scale=jnp.asarray(scale),
+                            hessian=out.hessian)
         if error > prev_error:
             return GNResult(pose=pose, status=jnp.asarray(ERROR_INCREASED),
                             iterations=jnp.asarray(it),
                             error=jnp.asarray(error),
-                            scale=jnp.asarray(scale))
+                            scale=jnp.asarray(scale),
+                            hessian=out.hessian)
         prev_error = error
         if scale > prev_scale:
             return GNResult(pose=pose, status=jnp.asarray(SCALE_INCREASED),
                             iterations=jnp.asarray(it),
                             error=jnp.asarray(error),
-                            scale=jnp.asarray(scale))
+                            scale=jnp.asarray(scale),
+                            hessian=out.hessian)
         prev_scale = scale
         pose = out.pose
         if (float(out.dq_norm) < convergence_tol
@@ -306,7 +351,9 @@ def run_gauss_newton_host(step_fn, initial_pose: Pose,
             return GNResult(pose=pose, status=jnp.asarray(CONVERGED),
                             iterations=jnp.asarray(it),
                             error=jnp.asarray(error),
-                            scale=jnp.asarray(scale))
+                            scale=jnp.asarray(scale),
+                            hessian=out.hessian)
     return GNResult(pose=pose, status=jnp.asarray(MAX_ITERATIONS),
                     iterations=jnp.asarray(it),
-                    error=jnp.asarray(error), scale=jnp.asarray(scale))
+                    error=jnp.asarray(error), scale=jnp.asarray(scale),
+                    hessian=out.hessian if it > 0 else None)

@@ -116,11 +116,11 @@ def _linearize_pose_one(qi, ti, qj, tj, z_q, z_t):
 _linearize_pose = jax.vmap(_linearize_pose_one)
 
 
-def _scatter(h, g, bi, bj, r, ji, jj, w):
+def _scatter(h, g, bi, bj, r, ji, jj, wji, wjj):
     """Accumulate one factor family's weighted blocks into H [9K, 9K],
-    g [9K]. ji/jj: [M, D, 9]; w: [M, D] per-row weights."""
-    wji = w[:, :, None] * ji
-    wjj = w[:, :, None] * jj
+    g [9K]. ji/jj: [M, D, 9] raw Jacobians; wji/wjj: the same blocks
+    pre-multiplied by the factor's (possibly non-diagonal) information
+    Lambda: wji = Lambda @ ji — so H_ii = ji^T Lambda ji etc."""
     hii = jnp.einsum("mki,mkj->mij", wji, ji)
     hij = jnp.einsum("mki,mkj->mij", wji, jj)
     hjj = jnp.einsum("mki,mkj->mij", wjj, jj)
@@ -173,8 +173,14 @@ def optimize_imu_graph(graph: ImuGraph, cons: Constraints | None,
                 d2 = robust_delta * robust_delta
                 r2 = jnp.sum(r * r, axis=-1)
                 w = w * jnp.square(d2 / (d2 + r2))
-            h, g = _scatter(h, g, cons.i, cons.j, r, ji, jj,
-                            jnp.broadcast_to(w[:, None], r.shape))
+            if cons.info is not None:
+                lam = w[:, None, None] * cons.info
+                wji = jnp.einsum("mab,mbk->mak", lam, ji)
+                wjj = jnp.einsum("mab,mbk->mak", lam, jj)
+            else:
+                wji = w[:, None, None] * ji
+                wjj = w[:, None, None] * jj
+            h, g = _scatter(h, g, cons.i, cons.j, r, ji, jj, wji, wjj)
 
         if imu is not None:
             r, ji, jj = _linearize_imu(
@@ -190,7 +196,8 @@ def optimize_imu_graph(graph: ImuGraph, cons: Constraints | None,
                                  (imu.i.shape[0], 3)),
                 jnp.broadcast_to((imu.weight * imu.w_pos)[:, None],
                                  (imu.i.shape[0], 3))], axis=-1)
-            h, g = _scatter(h, g, imu.i, imu.j, r, ji, jj, w9)
+            h, g = _scatter(h, g, imu.i, imu.j, r, ji, jj,
+                            w9[:, :, None] * ji, w9[:, :, None] * jj)
 
         if axis_name is not None:
             h = jax.lax.psum(h, axis_name)

@@ -41,6 +41,16 @@ class Constraints(NamedTuple):
     z_q: jnp.ndarray       # [M, 4] measured relative rotation
     z_t: jnp.ndarray       # [M, 3] measured relative translation
     weight: jnp.ndarray    # [M] information scale (0 masks a lane)
+    # Optional [M, 6, 6] information matrices in the residual tangent
+    # (rot, trans_local). Sourced from the registration's weighted
+    # Gauss-Newton Hessian M^T A M (ops/gauss_newton.py; reference
+    # localization/src/optimizer.cpp:40-72) so a closure that is well-
+    # constrained along one axis and degenerate along another bends the
+    # graph only where it has authority; the reference likewise plumbs
+    # full measurement covariance into its fusion
+    # (ekf_localizer/src/pose_measurement.cpp:38-55). None = isotropic
+    # (scalar ``weight`` only).
+    info: jnp.ndarray | None = None
 
 
 def _perturb(q, t, xi):
@@ -110,8 +120,16 @@ def _local_normal_equations(graph: PoseGraph, cons: Constraints,
     h = jnp.zeros((k6, k6), graph.poses_t.dtype)
     g = jnp.zeros((k6,), graph.poses_t.dtype)
 
-    wji = w[:, None, None] * ji
-    wjj = w[:, None, None] * jj
+    if cons.info is not None:
+        # Anisotropic information: H_ii = Ji^T (w Lambda) Ji etc.
+        # (Lambda symmetric; robust IRLS weight stays on the plain
+        # residual norm so scalar-weight tuning carries over).
+        lam = w[:, None, None] * cons.info
+        wji = jnp.einsum("mab,mbc->mac", lam, ji)   # Lambda Ji
+        wjj = jnp.einsum("mab,mbc->mac", lam, jj)
+    else:
+        wji = w[:, None, None] * ji
+        wjj = w[:, None, None] * jj
     hii = jnp.einsum("mki,mkj->mij", wji, ji)
     hij = jnp.einsum("mki,mkj->mij", wji, jj)
     hjj = jnp.einsum("mki,mkj->mij", wjj, jj)
@@ -223,8 +241,13 @@ def optimize_pose_graph_cg(graph: PoseGraph, cons: Constraints,
             r2 = jnp.sum(r * r, axis=-1)
             w = w * jnp.square(d2 / (d2 + r2))
 
-        wji = w[:, None, None] * ji     # [M, 6, 6]
-        wjj = w[:, None, None] * jj
+        if cons.info is not None:
+            lam = w[:, None, None] * cons.info
+            wji = jnp.einsum("mab,mbc->mac", lam, ji)   # Lambda Ji
+            wjj = jnp.einsum("mab,mbc->mac", lam, jj)
+        else:
+            wji = w[:, None, None] * ji     # [M, 6, 6]
+            wjj = w[:, None, None] * jj
 
         def hvp(x):                     # x: [K, 6] -> H x
             y = jnp.einsum("mab,mb->ma", ji, x[cons.i]) \
@@ -284,7 +307,7 @@ def make_distributed_pose_graph_optimizer(mesh: Mesh, n_poses: int,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), Constraints(P(axis), P(axis), P(axis), P(axis),
-                                        P(axis))),
+                                        P(axis), P(axis))),
              out_specs=P(),
              check_vma=False)
     def _opt(graph, cons):
@@ -296,6 +319,12 @@ def make_distributed_pose_graph_optimizer(mesh: Mesh, n_poses: int,
     sharded = NamedSharding(mesh, P(axis))
 
     def run(graph: PoseGraph, cons: Constraints) -> PoseGraph:
+        if cons.info is None:
+            # Identity information == the scalar-weight path exactly;
+            # materialized so the shard specs stay one fixed pytree.
+            m = cons.i.shape[0]
+            cons = cons._replace(info=jnp.broadcast_to(
+                jnp.eye(6, dtype=cons.z_t.dtype), (m, 6, 6)))
         graph = jax.device_put(graph, replicated)
         cons = jax.device_put(cons, sharded)
         return jax.jit(_opt)(graph, cons)

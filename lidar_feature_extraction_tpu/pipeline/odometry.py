@@ -217,6 +217,22 @@ def geometry_odometry_step(state: GeometryOdometryState, edge_pts,
     surf_m, surf_origin = gg.recenter_moments(
         state.surf_m, dims, sm.voxel_size, state.surf_origin, pose.t)
 
+    # Window points whose voxels rolled off the grid had their moments
+    # zeroed by recenter_moments; clear their mask bits so a later
+    # eviction cannot subtract moments that are no longer present
+    # (which would leave negative counts if the grid rolls back over
+    # the voxel first). The AND is one-way: once dropped, a point stays
+    # dropped even if the grid returns.
+    def _in_bounds(pts, origin, voxel):
+        idx = jnp.floor((pts - origin) / voxel)
+        return jnp.all((idx >= 0)
+                       & (idx < jnp.asarray(dims, idx.dtype)), axis=-1)
+
+    edge_wmask = state.edge_mask & _in_bounds(
+        state.edge_window, edge_origin, em.voxel_size)
+    surf_wmask = state.surf_mask & _in_bounds(
+        state.surf_window, surf_origin, sm.voxel_size)
+
     # 2. Finalize per-voxel line/plane fits (box-filter + eig3).
     edge_grid = gg.GeometryGrid(
         rec=gg.edge_records_from_moments(edge_m, dims, em.voxel_size,
@@ -255,21 +271,26 @@ def geometry_odometry_step(state: GeometryOdometryState, edge_pts,
     ts = new_pose.apply(surf_pts)
     old_e = jax.lax.dynamic_index_in_dim(state.edge_window, state.slot,
                                          0, keepdims=False)
-    old_em = jax.lax.dynamic_index_in_dim(state.edge_mask, state.slot,
+    old_em = jax.lax.dynamic_index_in_dim(edge_wmask, state.slot,
                                           0, keepdims=False)
     old_s = jax.lax.dynamic_index_in_dim(state.surf_window, state.slot,
                                          0, keepdims=False)
-    old_sm = jax.lax.dynamic_index_in_dim(state.surf_mask, state.slot,
+    old_sm = jax.lax.dynamic_index_in_dim(surf_wmask, state.slot,
                                           0, keepdims=False)
+    # Inserted-slot masks record what the scatter actually ADDS: an
+    # out-of-bounds point is dropped by voxel_moments' dump row, so it
+    # must never be evicted either.
+    ins_em = edge_valid & _in_bounds(te, edge_origin, em.voxel_size)
+    ins_sm = surf_valid & _in_bounds(ts, surf_origin, sm.voxel_size)
     sign_e = jnp.concatenate([jnp.ones(te.shape[0], te.dtype),
                               jnp.full(old_e.shape[0], -1.0, te.dtype)])
     sign_s = jnp.concatenate([jnp.ones(ts.shape[0], ts.dtype),
                               jnp.full(old_s.shape[0], -1.0, ts.dtype)])
     edge_m = edge_m + gg.voxel_moments(
-        jnp.concatenate([te, old_e]), jnp.concatenate([edge_valid, old_em]),
+        jnp.concatenate([te, old_e]), jnp.concatenate([ins_em, old_em]),
         em.voxel_size, edge_origin, dims, weight=sign_e)
     surf_m = surf_m + gg.voxel_moments(
-        jnp.concatenate([ts, old_s]), jnp.concatenate([surf_valid, old_sm]),
+        jnp.concatenate([ts, old_s]), jnp.concatenate([ins_sm, old_sm]),
         sm.voxel_size, surf_origin, dims, weight=sign_s)
 
     w = state.edge_window.shape[0]
@@ -279,14 +300,65 @@ def geometry_odometry_step(state: GeometryOdometryState, edge_pts,
         edge_window=jax.lax.dynamic_update_index_in_dim(
             state.edge_window, te, state.slot, 0),
         edge_mask=jax.lax.dynamic_update_index_in_dim(
-            state.edge_mask, edge_valid, state.slot, 0),
+            edge_wmask, ins_em, state.slot, 0),
         surf_window=jax.lax.dynamic_update_index_in_dim(
             state.surf_window, ts, state.slot, 0),
         surf_mask=jax.lax.dynamic_update_index_in_dim(
-            state.surf_mask, surf_valid, state.slot, 0),
+            surf_wmask, ins_sm, state.slot, 0),
         slot=(state.slot + 1) % w, n_scans=state.n_scans + 1,
         pose_q=new_q, pose_t=new_t)
     return new_state, result
+
+
+@partial(jax.jit, static_argnames=("cfg", "scale"))
+def register_to_window(edge_window, edge_mask, surf_window, surf_mask,
+                       edge_pts, edge_valid, surf_pts, surf_valid,
+                       prior_q, prior_t, cfg: PipelineConfig,
+                       scale: int):
+    """Coarse registration of a scan against the merged recent-scans
+    window at ``scale``-times the map voxel size (grid cell count is
+    divided by the same factor, so the extent is unchanged and the
+    3x3x3 candidate reach grows to ±1.5 * scale voxels).
+
+    The wide-basin stage of the odometry re-seed path: a cold start or
+    a motion break leaves the prior farther from the optimum than the
+    fine grids can see (VERDICT r3 item 1); scaled grids pull the pose
+    into the fine basin exactly like the loop-closure pyramid
+    (pipeline/slam.py _register_to_keyframe)."""
+    reg = cfg.registration
+    em, sm = reg.edge_map, reg.surface_map
+    dims = tuple(max(d // scale, 8) for d in reg.odometry_grid_dims)
+    prior = Pose(prior_q, prior_t)
+
+    merged_e = edge_window.reshape(-1, 3)
+    mem = edge_mask.reshape(-1)
+    merged_s = surf_window.reshape(-1, 3)
+    msm = surf_mask.reshape(-1)
+
+    ve = scale * em.voxel_size
+    vs = scale * sm.voxel_size
+    half_e = jnp.asarray(dims, prior_t.dtype) * ve / 2.0
+    half_s = jnp.asarray(dims, prior_t.dtype) * vs / 2.0
+    edge_map = vg.build_voxel_grid(merged_e, mem, ve, prior_t - half_e,
+                                   dims, em.points_per_voxel)
+    surf_map = vg.build_voxel_grid(merged_s, msm, vs, prior_t - half_s,
+                                   dims, sm.points_per_voxel)
+    surf_ds, surf_ds_valid = voxel_downsample(
+        surf_pts, surf_valid, reg.surface_downsample_leaf,
+        reg.max_surface_points)
+
+    def problem_fn(p: Pose) -> gn.Problem:
+        eb = edge_residuals(edge_map, edge_pts, edge_valid, p,
+                            reg.n_neighbors)
+        sb = surface_residuals(surf_map, surf_ds, surf_ds_valid, p,
+                               reg.n_neighbors)
+        return gn.make_problem([eb, sb])
+
+    return gn.run_gauss_newton(
+        problem_fn, prior, max_iterations=reg.max_iterations,
+        convergence_tol=reg.convergence_tol, huber_k=reg.huber_k,
+        degeneracy_threshold=reg.degeneracy_threshold,
+        abort_on_increase=False)
 
 
 class Odometry:
@@ -301,9 +373,18 @@ class Odometry:
     reference's merged-window KD-trees."""
 
     def __init__(self, cfg: PipelineConfig, dtype=jnp.float32,
-                 use_geometry: bool = True):
+                 use_geometry: bool = True,
+                 constant_velocity_prior: bool = True,
+                 edge_gate_distance: float = 0.3):
         self.cfg = cfg
         self.use_geometry = use_geometry
+        self.constant_velocity_prior = constant_velocity_prior
+        # Re-seed gate: median point-to-line distance of the EDGE
+        # correspondences at the registered pose above which the
+        # constant-velocity attempt is deemed to have converged onto
+        # aliased geometry (total error cannot tell — a dominant ground
+        # plane fits any ground plane). See GNResult.block_errors.
+        self.edge_gate_distance = edge_gate_distance
         self._step = (geometry_odometry_step if use_geometry
                       else odometry_step)
         self.state = (init_geometry_odometry(cfg, dtype) if use_geometry
@@ -316,15 +397,90 @@ class Odometry:
 
     def update(self, edge_pts, edge_valid, surf_pts, surf_valid,
                prior: Pose | None = None):
+        prev = self.pose
+        cv_prior = None
+        if prior is None and self.constant_velocity_prior \
+                and self._last_pose is not None:
+            # Constant-velocity extrapolation: compose the previous
+            # inter-scan delta onto the current pose. The reference's
+            # GN is never run cold — it is always seeded by the EKF
+            # feedback loop (subscriber.hpp:128-176); with no external
+            # prior this motion model is the minimum that keeps the
+            # 3x3x3-voxel correspondence reach ahead of platform motion
+            # (a constant-position seed loses track at ~1 m + ~5 deg
+            # per scan — VERDICT r3 item 1).
+            delta = self._last_pose.inverse().compose(prev)
+            cv_prior = prev.compose(delta)
+            prior = cv_prior
+        state0 = self.state
         if prior is None:
             self.state, result = self._step(
-                self.state, edge_pts, edge_valid, surf_pts, surf_valid,
+                state0, edge_pts, edge_valid, surf_pts, surf_valid,
                 self.cfg)
         else:
             self.state, result = self._step(
-                self.state, edge_pts, edge_valid, surf_pts, surf_valid,
+                state0, edge_pts, edge_valid, surf_pts, surf_valid,
                 self.cfg, prior_q=prior.q, prior_t=prior.t)
+        if self._registration_suspect(result) \
+                and int(self.state.n_scans) > 1:
+            # The seed overran the correspondence reach or snapped onto
+            # aliased geometry (cold start / abrupt reversal / motion
+            # break): each fallback reruns on the ORIGINAL state — the
+            # failed attempt inserted the scan at a bad pose and must
+            # be discarded wholesale. Fallback ladder: constant-
+            # position seed, then a wide-basin coarse-to-fine re-seed
+            # (scaled-grid registration against the window, the
+            # odometry analogue of the loop-closure pyramid). Keep the
+            # attempt with the best edge fit.
+            candidates = [(self._edge_median_distance(result),
+                           self.state, result)]
+            if cv_prior is not None:
+                self.state, result = self._step(
+                    state0, edge_pts, edge_valid, surf_pts, surf_valid,
+                    self.cfg, prior_q=prev.q, prior_t=prev.t)
+                candidates.append((self._edge_median_distance(result),
+                                   self.state, result))
+            if self._registration_suspect(result):
+                seed = prev
+                for scale in (4, 2):
+                    coarse = register_to_window(
+                        state0.edge_window, state0.edge_mask,
+                        state0.surf_window, state0.surf_mask,
+                        edge_pts, edge_valid, surf_pts, surf_valid,
+                        seed.q, seed.t, self.cfg, scale)
+                    if int(coarse.status) in (gn.CONVERGED,
+                                              gn.MAX_ITERATIONS):
+                        seed = coarse.pose
+                self.state, result = self._step(
+                    state0, edge_pts, edge_valid, surf_pts, surf_valid,
+                    self.cfg, prior_q=seed.q, prior_t=seed.t)
+                candidates.append((self._edge_median_distance(result),
+                                   self.state, result))
+            if self._registration_suspect(result):
+                # Every attempt failed the gate: keep the best edge
+                # fit (nan sorts last).
+                def key(c):
+                    return c[0] if c[0] == c[0] else float("inf")
+                _, self.state, result = min(candidates, key=key)
+        self._last_pose = prev
         return result
+
+    @staticmethod
+    def _edge_median_distance(result) -> float:
+        """Median point-to-line distance of the edge block at the
+        registered pose. Edge residual (p-p1)x(p-p2) has |p2-p1| = 2,
+        so |r| = 2 * distance and block_errors[0] = 4 * distance^2."""
+        if result.block_errors is None:
+            return float("nan")
+        return float(result.block_errors[0]) ** 0.5 / 2.0
+
+    def _registration_suspect(self, result) -> bool:
+        if int(result.status) in (gn.EMPTY_INPUT, gn.MAX_ITERATIONS):
+            return True
+        if self.edge_gate_distance is None:
+            return False
+        d = self._edge_median_distance(result)
+        return d == d and d > self.edge_gate_distance
 
     def update_with_imu(self, edge_pts, edge_valid, surf_pts, surf_valid,
                         gyro, accel, dts):

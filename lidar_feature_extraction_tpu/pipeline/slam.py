@@ -46,6 +46,37 @@ def relative_pose(a: Pose, b: Pose) -> Pose:
     return a.inverse().compose(b)
 
 
+def constraint_info_from_hessian(hessian, q) -> Optional[np.ndarray]:
+    """Registration Hessian M^T A M -> normalized [6, 6] constraint
+    information in the pose-graph residual tangent.
+
+    The registration's tangent is (dtheta_right, dt_parent-frame)
+    (ops/gauss_newton.py run_gauss_newton); the graph residual's
+    translation tangent is local to the measured pose (pose_graph.py
+    _perturb), so the translation block is conjugated by R(q) with q
+    the registration result's rotation. Normalized to unit max
+    eigenvalue so the scalar constraint ``weight`` keeps its (0, 1]
+    semantics, with a 1% isotropic floor so a fully degenerate axis
+    still carries a whisper of stiffness (the graph must not be
+    singular along it). Returns None when the Hessian is unusable
+    (empty registration)."""
+    if hessian is None:
+        return None
+    h = np.asarray(hessian, np.float64)
+    if not np.all(np.isfinite(h)) or np.trace(h) <= 0:
+        return None
+    r = np.asarray(quat.quat_to_matrix(q), np.float64)
+    j = np.eye(6)
+    j[3:, 3:] = r
+    lam = j.T @ h @ j
+    lam = 0.5 * (lam + lam.T)
+    lmax = float(np.linalg.eigvalsh(lam).max())
+    if not np.isfinite(lmax) or lmax <= 0:
+        return None
+    lam = lam / lmax + 0.01 * np.eye(6)
+    return (lam / 1.01).astype(np.float32)
+
+
 class MappingPipeline:
     """Feed per-scan features; get an optimized keyframe trajectory and
     a globally-consistent feature map."""
@@ -61,7 +92,8 @@ class MappingPipeline:
         self.cfg = cfg
         self.odometry = Odometry(cfg)
         self.keyframes: list[Keyframe] = []
-        self.constraints: list[tuple[int, int, Pose, float]] = []
+        # (i, j, rel Pose, weight, info [6, 6] or None) per constraint.
+        self.constraints: list[tuple] = []
         self.loop_radius = loop_radius
         self.loop_min_gap = loop_min_gap
         self.optimize_every = optimize_every
@@ -78,6 +110,18 @@ class MappingPipeline:
         self.loop_min_edge_matches = loop_min_edge_matches
         self._optimized: Optional[PoseGraph] = None
         self._kf_since_opt = 0
+        # Frame bookkeeping: the odometry front-end runs in its own
+        # (drifting) frame and is never rewound by the back-end. Raw
+        # odometry poses per keyframe feed the chain constraints
+        # (relative deltas are frame-invariant, so they stay valid after
+        # the back-end rewrites keyframe poses — mixing an optimized
+        # keyframe pose with a raw odometry pose would corrupt the
+        # constraint, the LIO-SAM structure the reference's stubbed
+        # imu_integration cites); ``_corr`` maps odometry frame -> map
+        # frame so new keyframes and the loop radius search live in the
+        # optimized frame.
+        self._odom_poses: list[Pose] = []
+        self._corr: Pose = Pose.identity()
         # IMU: raw samples buffered between keyframes; preintegrated
         # factor per keyframe interval (fusion/imu.py — the reference's
         # imu_integration package is an empty stub, SURVEY.md §2.6).
@@ -99,38 +143,47 @@ class MappingPipeline:
         pose and (b) accumulate into a preintegrated factor between
         keyframes for the graph back-end."""
         if imu_gyro is not None:
-            self.odometry.update_with_imu(edge_pts, edge_valid,
-                                          surf_pts, surf_valid,
-                                          imu_gyro, imu_accel, imu_dts)
+            reg = self.odometry.update_with_imu(
+                edge_pts, edge_valid, surf_pts, surf_valid,
+                imu_gyro, imu_accel, imu_dts)
             self._imu_buffer.append((np.asarray(imu_gyro),
                                      np.asarray(imu_accel),
                                      np.asarray(imu_dts)))
         else:
-            self.odometry.update(edge_pts, edge_valid, surf_pts,
-                                 surf_valid)
-        pose = self.odometry.pose
+            reg = self.odometry.update(edge_pts, edge_valid, surf_pts,
+                                       surf_valid)
+        odom_pose = self.odometry.pose
+        map_pose = self._corr.compose(odom_pose)
 
-        if self._should_add_keyframe(pose):
-            kf = Keyframe(pose=pose, edge_pts=edge_pts,
+        if self._should_add_keyframe(odom_pose):
+            kf = Keyframe(pose=map_pose, edge_pts=edge_pts,
                           edge_valid=edge_valid, surf_pts=surf_pts,
                           surf_valid=surf_valid, stamp=stamp)
-            self._add_keyframe(kf)
-        return pose
+            self._add_keyframe(kf, odom_pose, reg)
+        return map_pose
 
-    def _should_add_keyframe(self, pose: Pose) -> bool:
+    def _should_add_keyframe(self, odom_pose: Pose) -> bool:
         if not self.keyframes:
             return True
         m = self.cfg.mapping
-        dt, dq = pose_delta_magnitudes(self.keyframes[-1].pose, pose)
+        dt, dq = pose_delta_magnitudes(self._odom_poses[-1], odom_pose)
         return bool((dt >= m.keyframe_translation_threshold)
                     | (dq >= m.keyframe_rotation_threshold))
 
-    def _add_keyframe(self, kf: Keyframe) -> None:
+    def _add_keyframe(self, kf: Keyframe, odom_pose: Pose,
+                      reg=None) -> None:
         idx = len(self.keyframes)
         self.keyframes.append(kf)
+        self._odom_poses.append(odom_pose)
         if idx > 0:
-            rel = relative_pose(self.keyframes[idx - 1].pose, kf.pose)
-            self.constraints.append((idx - 1, idx, rel, 1.0))
+            rel = relative_pose(self._odom_poses[idx - 1], odom_pose)
+            # Chain information: the triggering scan registration's
+            # weighted Hessian (an anisotropy proxy for the inter-
+            # keyframe odometry segment — a corridor-degenerate
+            # stretch reports low stiffness along its blind axis).
+            info = constraint_info_from_hessian(
+                None if reg is None else reg.hessian, odom_pose.q)
+            self.constraints.append((idx - 1, idx, rel, 1.0, info))
             if self._imu_buffer:
                 from lidar_feature_extraction_tpu.fusion.imu import (
                     preintegrate)
@@ -174,8 +227,8 @@ class MappingPipeline:
         match = self._register_to_keyframe(kf, self.keyframes[j])
         if match is None:
             return False
-        rel, quality = match
-        self.constraints.append((j, idx, rel, quality))
+        rel, quality, info = match
+        self.constraints.append((j, idx, rel, quality, info))
         return True
 
     def _register_to_keyframe(
@@ -296,8 +349,12 @@ class MappingPipeline:
         # Constraint weight = inlier fraction: a marginal closure never
         # outweighs the odometry chain (weight 1.0); the pose-graph
         # robust kernel (parallel/pose_graph.py) handles anything that
-        # still slips through.
-        return result.pose, inlier_frac
+        # still slips through. The 6x6 information carries the
+        # registration's anisotropy (e.g. a corridor closure that pins
+        # the cross-track axis but not the along-track one).
+        info = constraint_info_from_hessian(result.hessian,
+                                            result.pose.q)
+        return result.pose, inlier_frac, info
 
     # ---- back end --------------------------------------------------
 
@@ -333,7 +390,10 @@ class MappingPipeline:
         zq = jnp.stack([c[2].q for c in self.constraints])
         zt = jnp.stack([c[2].t for c in self.constraints])
         w = jnp.asarray([c[3] for c in self.constraints], jnp.float32)
-        cons = Constraints(i=i, j=j, z_q=zq, z_t=zt, weight=w)
+        eye = np.eye(6, dtype=np.float32)
+        info = jnp.asarray(np.stack(
+            [eye if c[4] is None else c[4] for c in self.constraints]))
+        cons = Constraints(i=i, j=j, z_q=zq, z_t=zt, weight=w, info=info)
 
         if self.imu_factors:
             from lidar_feature_extraction_tpu.parallel.imu_graph import (
@@ -384,6 +444,11 @@ class MappingPipeline:
         self.keyframes = [
             kf._replace(pose=Pose(out.poses_q[n], out.poses_t[n]))
             for n, kf in enumerate(self.keyframes)]
+        # Re-anchor the odometry->map correction on the newest keyframe
+        # so subsequent scans (still tracked in the odometry frame)
+        # enter the map in the optimized frame.
+        self._corr = self.keyframes[-1].pose.compose(
+            self._odom_poses[-1].inverse())
 
     # ---- outputs ---------------------------------------------------
 

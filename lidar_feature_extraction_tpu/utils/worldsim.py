@@ -185,13 +185,102 @@ def synth_twists(n_scans: int,
         a = trajectory(i)
         b = trajectory(i + 1)
         vx = float(np.linalg.norm(np.asarray(b.t - a.t)[:2])) / period
-        wz = (float(quat.quat_yaw(b.q)) - float(quat.quat_yaw(a.q))) \
-            / period
+        # Wrap the yaw difference into (-pi, pi]: quat_yaw returns
+        # atan2-range angles, so any loop drive crosses +/-pi and the
+        # raw difference would inject a ~2*pi/period bogus twist.
+        dyaw = float(quat.quat_yaw(b.q)) - float(quat.quat_yaw(a.q))
+        wz = float(np.arctan2(np.sin(dyaw), np.cos(dyaw))) / period
         if rng is not None:
             vx += rng.normal(scale=v_noise)
             wz += rng.normal(scale=w_noise)
         out.append((vx, wz))
     return out
+
+
+def circle_pose(i: float, n_scans: int, radius: float) -> Pose:
+    """Closed circular drive: scan ``i`` of ``n_scans`` around a circle
+    of ``radius``, heading tangent to the path (yaw = arc angle)."""
+    th = 2 * np.pi * i / n_scans
+    t = np.array([radius * np.sin(th), radius * (1 - np.cos(th)), 0.0])
+    return Pose(q=quat.exp_so3(jnp.asarray([0, 0, th], jnp.float32)),
+                t=jnp.asarray(t, jnp.float32))
+
+
+def run_mapping_drive(world: World, cfg: PipelineConfig,
+                      rng: np.random.Generator, n_scans: int,
+                      radius: float, scan_period: float = 0.1,
+                      with_imu: bool = False, imu_substeps: int = 20,
+                      pipeline_kwargs: dict | None = None,
+                      **scan_kwargs):
+    """Full mapping workload over a closed circular drive: raycast ->
+    extraction -> odometry front-end -> keyframes -> loop closure ->
+    pose-graph back-end (the BASELINE.json config-4 acceptance drive;
+    generalizes the reference's open-loop map builder,
+    ``mapping/include/lidar_feature_mapping/map.hpp:98-134``).
+
+    Returns ``(pipeline, gt_keyframe_positions [K, 3])`` after the
+    final optimization. ``with_imu`` synthesizes noisy IMU windows
+    (fusion/imu.py) fed as scan-matcher priors and keyframe factors."""
+    import jax
+
+    from lidar_feature_extraction_tpu.core.scan import build_range_image
+    from lidar_feature_extraction_tpu.fusion import imu as imu_mod
+    from lidar_feature_extraction_tpu.ops.extraction import (
+        extract_features)
+    from lidar_feature_extraction_tpu.pipeline.slam import MappingPipeline
+
+    ex = cfg.extraction
+    n = ex.n_rings * ex.max_points_per_ring
+    extract = jax.jit(lambda im: extract_features(im, ex))
+
+    gyro = accel = dts = None
+    sub = imu_substeps
+    if with_imu:
+        fine = [circle_pose(k / sub, n_scans, radius)
+                for k in range(n_scans * sub + 1)]
+        q_f = jnp.stack([p.q for p in fine])
+        t_f = jnp.stack([p.t for p in fine])
+        gyro, accel, dts, _v0 = imu_mod.synthesize_imu(
+            q_f, t_f, scan_period / sub)
+        gyro = np.asarray(gyro) + rng.normal(scale=1e-3, size=gyro.shape)
+        accel = np.asarray(accel) + rng.normal(scale=1e-2,
+                                               size=accel.shape)
+        dts = np.asarray(dts)
+
+    pipeline = MappingPipeline(cfg, **(pipeline_kwargs or {}))
+    for i in range(n_scans):
+        pose = circle_pose(i, n_scans, radius)
+        pts, ring = raycast_scan(world, pose, rng, **scan_kwargs)
+        buf = np.zeros((n, 3), np.float32)
+        rid = np.zeros(n, np.int32)
+        val = np.zeros(n, bool)
+        m = min(len(pts), n)
+        buf[:m] = pts[:m]
+        rid[:m] = ring[:m]
+        val[:m] = True
+        image = build_range_image(
+            jnp.asarray(buf), jnp.asarray(rid), jnp.asarray(val),
+            ex.n_rings, ex.max_points_per_ring,
+            min_points_per_ring=ex.padding + 1)
+        feats = extract(image)
+        if with_imu and i >= 1:
+            sl = slice((i - 1) * sub, i * sub)
+            pipeline.process_scan(
+                feats.edge_xyz, feats.edge_valid,
+                feats.surface_xyz, feats.surface_valid,
+                stamp=float(i) * scan_period,
+                imu_gyro=gyro[sl], imu_accel=accel[sl],
+                imu_dts=dts[sl])
+        else:
+            pipeline.process_scan(feats.edge_xyz, feats.edge_valid,
+                                  feats.surface_xyz, feats.surface_valid,
+                                  stamp=float(i) * scan_period)
+    pipeline.optimize()
+    gt = np.stack([
+        np.asarray(circle_pose(round(kf.stamp / scan_period), n_scans,
+                               radius).t)
+        for kf in pipeline.keyframes])
+    return pipeline, gt
 
 
 def run_drive(maps, cfg: PipelineConfig, scans: Sequence,

@@ -168,3 +168,51 @@ def test_zero_weight_lanes_are_inert():
     out2 = optimize_pose_graph(init, garbage, n_iterations=5)
     np.testing.assert_allclose(np.asarray(out1.poses_t),
                                np.asarray(out2.poses_t), atol=1e-6)
+
+
+def test_anisotropic_constraint_info_bends_only_constrained_axes():
+    """A corridor-like loop closure — well-constrained cross-track (y),
+    degenerate along-track (x) — must bend the graph along y but leave
+    x essentially untouched; the same closure with isotropic info drags
+    x toward its (wrong) along-track claim. VERDICT r3 item 3."""
+    k = 8
+    ident = np.tile(np.asarray([1.0, 0, 0, 0], np.float32), (k, 1))
+    gt_t = np.stack([np.arange(k, dtype=np.float32),
+                     np.zeros(k, np.float32),
+                     np.zeros(k, np.float32)], axis=-1)
+    graph = PoseGraph(poses_q=jnp.asarray(ident),
+                      poses_t=jnp.asarray(gt_t))
+
+    # Chain: exact unit x steps. Closure 1->6: claims (3, 1, 0) —
+    # wrong by -2 along x, +1 along y.
+    i = list(range(k - 1)) + [1]
+    j = list(range(1, k)) + [6]
+    z_t = [[1.0, 0.0, 0.0]] * (k - 1) + [[3.0, 1.0, 0.0]]
+    z_q = [[1.0, 0.0, 0.0, 0.0]] * k
+    base = dict(i=jnp.asarray(i, jnp.int32), j=jnp.asarray(j, jnp.int32),
+                z_q=jnp.asarray(z_q, jnp.float32),
+                z_t=jnp.asarray(z_t, jnp.float32),
+                weight=jnp.ones(k, jnp.float32))
+
+    # Corridor info on the closure: x-translation dead, y/z + rot live.
+    info = np.tile(np.eye(6, dtype=np.float32), (k, 1, 1))
+    info[-1, 3, 3] = 1e-4
+    aniso = optimize_pose_graph(
+        graph, Constraints(info=jnp.asarray(info), **base),
+        n_iterations=10)
+    iso = optimize_pose_graph(graph, Constraints(**base),
+                              n_iterations=10)
+
+    t_a = np.asarray(aniso.poses_t)
+    t_i = np.asarray(iso.poses_t)
+    # Anisotropic: pose 6 stays put along x, moves along y.
+    assert abs(t_a[6, 0] - 6.0) < 0.1, t_a[6]
+    assert t_a[6, 1] > 0.2, t_a[6]
+    # Isotropic: the wrong along-track claim visibly drags x.
+    assert abs(t_i[6, 0] - 6.0) > 0.5, t_i[6]
+
+    # CG solver agrees with the dense solver under anisotropic info.
+    cg = optimize_pose_graph_cg(
+        graph, Constraints(info=jnp.asarray(info), **base),
+        n_iterations=10)
+    np.testing.assert_allclose(np.asarray(cg.poses_t), t_a, atol=5e-3)
