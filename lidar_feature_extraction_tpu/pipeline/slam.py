@@ -29,7 +29,7 @@ from lidar_feature_extraction_tpu.ops.downsample import voxel_downsample
 from lidar_feature_extraction_tpu.ops.residuals import (
     edge_residuals, surface_residuals)
 from lidar_feature_extraction_tpu.parallel.pose_graph import (
-    Constraints, PoseGraph, optimize_pose_graph)
+    Constraints, PoseGraph, optimize_pose_graph, optimize_pose_graph_cg)
 from lidar_feature_extraction_tpu.pipeline.odometry import Odometry
 
 
@@ -88,7 +88,8 @@ class MappingPipeline:
                  loop_inlier_threshold: float = 0.3,
                  loop_min_inlier_frac: float = 0.6,
                  loop_min_matches: int = 50,
-                 loop_min_edge_matches: int = 20):
+                 loop_min_edge_matches: int = 20,
+                 dense_solver_max_keyframes: int = 128):
         self.cfg = cfg
         self.odometry = Odometry(cfg)
         self.keyframes: list[Keyframe] = []
@@ -108,6 +109,15 @@ class MappingPipeline:
         self.loop_min_inlier_frac = loop_min_inlier_frac
         self.loop_min_matches = loop_min_matches
         self.loop_min_edge_matches = loop_min_edge_matches
+        # Back-end bounds: above dense_solver_max_keyframes active
+        # poses the matrix-free CG solver replaces the dense [6K, 6K]
+        # one (O(M + K) per step instead of O((6K)^3)); above
+        # cfg.mapping.max_keyframes the optimization runs over a
+        # sliding window — older keyframes freeze at their optimized
+        # poses (they still contribute to the assembled map), and
+        # constraints bridging into the frozen region re-anchor on the
+        # window's gauge-fixed first pose.
+        self.dense_solver_max_keyframes = dense_solver_max_keyframes
         self._optimized: Optional[PoseGraph] = None
         self._kf_since_opt = 0
         # Frame bookkeeping: the odometry front-end runs in its own
@@ -369,45 +379,80 @@ class MappingPipeline:
 
     def optimize(self, n_iterations: int = 10,
                  robust_delta: float | None = 0.5) -> None:
-        """Pose-graph Gauss-Newton over all keyframes (chain + loop
-        constraints), with a Geman-McClure kernel (``robust_delta``) so
-        any outlier constraint that survived the acceptance gate is
-        down-weighted rather than trusted. The kernel is applied with a
-        graduated-non-convexity schedule (delta 16x -> 4x -> 1x): a
-        GENUINE loop closure's residual at the unoptimized poses is the
-        whole accumulated drift, and starting at the final delta would
-        redescend its weight to ~0 before the graph ever moves — the
-        classic robust-IRLS local minimum. Single-device here; the
-        sharded variant is
+        """Pose-graph Gauss-Newton over the active keyframe window
+        (chain + loop constraints), with a Geman-McClure kernel
+        (``robust_delta``) so any outlier constraint that survived the
+        acceptance gate is down-weighted rather than trusted. The
+        kernel is applied with a graduated-non-convexity schedule
+        (delta 16x -> 4x -> 1x): a GENUINE loop closure's residual at
+        the unoptimized poses is the whole accumulated drift, and
+        starting at the final delta would redescend its weight to ~0
+        before the graph ever moves — the classic robust-IRLS local
+        minimum.
+
+        Bounds (see __init__): only the last ``mapping.max_keyframes``
+        poses optimize (older ones freeze; bridging constraints
+        re-anchor on the window's first, gauge-fixed pose); the
+        matrix-free CG solver takes over past
+        ``dense_solver_max_keyframes``. Single-device here; the sharded
+        variant is
         parallel/pose_graph.make_distributed_pose_graph_optimizer."""
         k = len(self.keyframes)
         if k < 2 or not self.constraints:
             return
-        poses_q = jnp.stack([kf.pose.q for kf in self.keyframes])
-        poses_t = jnp.stack([kf.pose.t for kf in self.keyframes])
-        i = jnp.asarray([c[0] for c in self.constraints], jnp.int32)
-        j = jnp.asarray([c[1] for c in self.constraints], jnp.int32)
-        zq = jnp.stack([c[2].q for c in self.constraints])
-        zt = jnp.stack([c[2].t for c in self.constraints])
-        w = jnp.asarray([c[3] for c in self.constraints], jnp.float32)
-        eye = np.eye(6, dtype=np.float32)
-        info = jnp.asarray(np.stack(
-            [eye if c[4] is None else c[4] for c in self.constraints]))
-        cons = Constraints(i=i, j=j, z_q=zq, z_t=zt, weight=w, info=info)
+        offset = max(0, k - self.cfg.mapping.max_keyframes)
+        ka = k - offset
+        if ka < 2:
+            return
+        active = self.keyframes[offset:]
+        poses_q = jnp.stack([kf.pose.q for kf in active])
+        poses_t = jnp.stack([kf.pose.t for kf in active])
 
-        if self.imu_factors:
+        eye = np.eye(6, dtype=np.float32)
+        ci, cj, czq, czt, cw, cinfo = [], [], [], [], [], []
+        anchor_inv = active[0].pose.inverse()
+        for (i, j, rel, w, info) in self.constraints:
+            if j < offset:
+                continue          # entirely frozen
+            if i < offset:
+                # Bridge into the frozen region: the frozen endpoint's
+                # pose is a constant, so the constraint becomes a
+                # measurement of pose j relative to the (gauge-fixed)
+                # window anchor: z' = T_anchor^-1 T_i z.
+                z = anchor_inv.compose(
+                    self.keyframes[i].pose.compose(rel))
+                i2, j2 = 0, j - offset
+            else:
+                z, i2, j2 = rel, i - offset, j - offset
+            if i2 == j2:
+                continue
+            ci.append(i2)
+            cj.append(j2)
+            czq.append(z.q)
+            czt.append(z.t)
+            cw.append(w)
+            cinfo.append(eye if info is None else info)
+        if not ci:
+            return
+        cons = Constraints(
+            i=jnp.asarray(ci, jnp.int32), j=jnp.asarray(cj, jnp.int32),
+            z_q=jnp.stack(czq), z_t=jnp.stack(czt),
+            weight=jnp.asarray(cw, jnp.float32),
+            info=jnp.asarray(np.stack(cinfo)))
+
+        imu_window = [(a - offset, b - offset, pre)
+                      for a, b, pre in self.imu_factors if a >= offset]
+        if imu_window:
             from lidar_feature_extraction_tpu.parallel.imu_graph import (
                 ImuFactors, ImuGraph, optimize_imu_graph,
                 weights_from_covariance)
 
-            pres = [f[2] for f in self.imu_factors]
+            pres = [f[2] for f in imu_window]
             cov = jnp.stack([p.cov for p in pres])
             w_rot, w_vel, w_pos = weights_from_covariance(cov)
             imu = ImuFactors(
-                i=jnp.asarray([f[0] for f in self.imu_factors],
-                              jnp.int32),
-                j=jnp.asarray([f[1] for f in self.imu_factors],
-                              jnp.int32),
+                i=jnp.asarray([f[0] for f in imu_window], jnp.int32),
+                j=jnp.asarray([f[1] for f in imu_window], jnp.int32),
                 dq=jnp.stack([p.dq for p in pres]),
                 dv=jnp.stack([p.dv for p in pres]),
                 dp=jnp.stack([p.dp for p in pres]),
@@ -417,7 +462,7 @@ class MappingPipeline:
             # Initial velocities: finite differences of keyframe
             # positions over their stamps.
             t_np = np.asarray(poses_t)
-            stamps = np.asarray([kf.stamp for kf in self.keyframes])
+            stamps = np.asarray([kf.stamp for kf in active])
             ds = np.maximum(np.diff(stamps), 1e-3)
             v = np.diff(t_np, axis=0) / ds[:, None]
             vels = jnp.asarray(np.concatenate([v, v[-1:]]), jnp.float32)
@@ -432,23 +477,203 @@ class MappingPipeline:
                             poses_t=graph9.poses_t)
             self._vels = np.asarray(graph9.vels)
         else:
+            solver = (optimize_pose_graph_cg
+                      if ka > self.dense_solver_max_keyframes
+                      else optimize_pose_graph)
             graph = PoseGraph(poses_q=poses_q, poses_t=poses_t)
             for delta, n_it in self._gnc_schedule(robust_delta,
                                                   n_iterations):
-                graph = optimize_pose_graph(graph, cons,
-                                            n_iterations=n_it,
-                                            robust_delta=delta)
+                graph = solver(graph, cons, n_iterations=n_it,
+                               robust_delta=delta)
             out = graph
         self._optimized = out
-        # Write back optimized poses.
-        self.keyframes = [
+        # Write back optimized poses (active window only; frozen
+        # keyframes keep the poses of the optimization they last
+        # participated in).
+        self.keyframes = self.keyframes[:offset] + [
             kf._replace(pose=Pose(out.poses_q[n], out.poses_t[n]))
-            for n, kf in enumerate(self.keyframes)]
+            for n, kf in enumerate(active)]
         # Re-anchor the odometry->map correction on the newest keyframe
         # so subsequent scans (still tracked in the odometry frame)
         # enter the map in the optimized frame.
         self._corr = self.keyframes[-1].pose.compose(
             self._odom_poses[-1].inverse())
+
+    # ---- checkpoint / resume ----------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the FULL pipeline state — odometry map + window,
+        keyframes, constraints (with 6x6 info), IMU factors, frame
+        correction — so a mapping run can resume mid-sequence
+        (SURVEY.md §5: the reference persists only the final map PCD,
+        map.hpp:135-148; pose/filter state is lost there)."""
+        from lidar_feature_extraction_tpu.utils import checkpoint as ckpt
+
+        kf = self.keyframes
+        states = dict(
+            odometry_state=self.odometry.state,
+            odometry_velocity=self.odometry.velocity,
+            corr=(self._corr.q, self._corr.t),
+        )
+        meta = dict(
+            n_keyframes=len(kf),
+            n_constraints=len(self.constraints),
+            n_imu_factors=len(self.imu_factors),
+            n_imu_buffer=len(self._imu_buffer),
+            has_last_pose=self.odometry._last_pose is not None,
+            kf_since_opt=self._kf_since_opt,
+        )
+        if self.odometry._last_pose is not None:
+            states["last_pose"] = (self.odometry._last_pose.q,
+                                   self.odometry._last_pose.t)
+        if kf:
+            states["keyframes"] = dict(
+                q=np.stack([np.asarray(f.pose.q) for f in kf]),
+                t=np.stack([np.asarray(f.pose.t) for f in kf]),
+                edge_pts=np.stack([np.asarray(f.edge_pts) for f in kf]),
+                edge_valid=np.stack(
+                    [np.asarray(f.edge_valid) for f in kf]),
+                surf_pts=np.stack([np.asarray(f.surf_pts) for f in kf]),
+                surf_valid=np.stack(
+                    [np.asarray(f.surf_valid) for f in kf]),
+                stamps=np.asarray([f.stamp for f in kf], np.float64),
+                odom_q=np.stack(
+                    [np.asarray(p.q) for p in self._odom_poses]),
+                odom_t=np.stack(
+                    [np.asarray(p.t) for p in self._odom_poses]))
+        if self.constraints:
+            eye = np.eye(6, dtype=np.float32)
+            states["constraints"] = dict(
+                i=np.asarray([c[0] for c in self.constraints], np.int32),
+                j=np.asarray([c[1] for c in self.constraints], np.int32),
+                z_q=np.stack([np.asarray(c[2].q)
+                              for c in self.constraints]),
+                z_t=np.stack([np.asarray(c[2].t)
+                              for c in self.constraints]),
+                w=np.asarray([c[3] for c in self.constraints],
+                             np.float32),
+                info=np.stack([eye if c[4] is None else c[4]
+                               for c in self.constraints]),
+                has_info=np.asarray(
+                    [c[4] is not None for c in self.constraints]))
+        if self.imu_factors:
+            import jax
+
+            pres = [f[2] for f in self.imu_factors]
+            states["imu_factors"] = dict(
+                i=np.asarray([f[0] for f in self.imu_factors], np.int32),
+                j=np.asarray([f[1] for f in self.imu_factors], np.int32),
+                pre=jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                    *pres))
+        if self._imu_buffer:
+            states["imu_buffer"] = dict(
+                gyro=np.concatenate([b[0] for b in self._imu_buffer]),
+                accel=np.concatenate([b[1] for b in self._imu_buffer]),
+                dts=np.concatenate([b[2] for b in self._imu_buffer]))
+        ckpt.save_checkpoint(path, _meta=meta, **states)
+
+    @classmethod
+    def restore(cls, path: str, cfg: PipelineConfig,
+                **pipeline_kwargs) -> "MappingPipeline":
+        """Rebuild a pipeline from ``save_checkpoint`` output; feeding
+        the remaining scans reproduces the unbroken run's trajectory
+        (tests/test_slam.py::test_mapping_checkpoint_resume)."""
+        import jax
+
+        from lidar_feature_extraction_tpu.fusion.imu import (
+            ImuPreintegration)
+        from lidar_feature_extraction_tpu.utils import checkpoint as ckpt
+
+        meta = ckpt.load_meta(path)
+        p = cls(cfg, **pipeline_kwargs)
+        k = int(meta["n_keyframes"])
+        m = int(meta["n_constraints"])
+        mi = int(meta["n_imu_factors"])
+        nb = int(meta["n_imu_buffer"])
+        ex = cfg.extraction
+
+        templates = dict(
+            odometry_state=p.odometry.state,
+            odometry_velocity=p.odometry.velocity,
+            corr=(jnp.zeros(4), jnp.zeros(3)),
+        )
+        if meta["has_last_pose"]:
+            templates["last_pose"] = (jnp.zeros(4), jnp.zeros(3))
+        if k:
+            templates["keyframes"] = dict(
+                q=jnp.zeros((k, 4)), t=jnp.zeros((k, 3)),
+                edge_pts=jnp.zeros((k, ex.max_edges, 3)),
+                edge_valid=jnp.zeros((k, ex.max_edges), bool),
+                surf_pts=jnp.zeros((k, ex.max_surfaces, 3)),
+                surf_valid=jnp.zeros((k, ex.max_surfaces), bool),
+                stamps=jnp.zeros((k,), jnp.float64),
+                odom_q=jnp.zeros((k, 4)), odom_t=jnp.zeros((k, 3)))
+        if m:
+            templates["constraints"] = dict(
+                i=jnp.zeros((m,), jnp.int32), j=jnp.zeros((m,), jnp.int32),
+                z_q=jnp.zeros((m, 4)), z_t=jnp.zeros((m, 3)),
+                w=jnp.zeros((m,)), info=jnp.zeros((m, 6, 6)),
+                has_info=jnp.zeros((m,), bool))
+        if mi:
+            zero_pre = ImuPreintegration(
+                dq=jnp.zeros((mi, 4)), dv=jnp.zeros((mi, 3)),
+                dp=jnp.zeros((mi, 3)), dt=jnp.zeros((mi,)),
+                dq_dbg=jnp.zeros((mi, 3, 3)), dv_dbg=jnp.zeros((mi, 3, 3)),
+                dv_dba=jnp.zeros((mi, 3, 3)), dp_dbg=jnp.zeros((mi, 3, 3)),
+                dp_dba=jnp.zeros((mi, 3, 3)), cov=jnp.zeros((mi, 9, 9)))
+            templates["imu_factors"] = dict(
+                i=jnp.zeros((mi,), jnp.int32),
+                j=jnp.zeros((mi,), jnp.int32), pre=zero_pre)
+        if nb:
+            # Buffered raw samples are stored concatenated; the count
+            # of source windows is immaterial (they are concatenated
+            # again at the next keyframe) but the row count is not
+            # known here — load lazily below.
+            pass
+
+        data = ckpt.load_checkpoint(path, **{
+            n: t for n, t in templates.items()})
+        p.odometry.state = data["odometry_state"]
+        p.odometry.velocity = data["odometry_velocity"]
+        p._corr = Pose(jnp.asarray(data["corr"][0], jnp.float32),
+                       jnp.asarray(data["corr"][1], jnp.float32))
+        if meta["has_last_pose"]:
+            p.odometry._last_pose = Pose(
+                jnp.asarray(data["last_pose"][0], jnp.float32),
+                jnp.asarray(data["last_pose"][1], jnp.float32))
+        p._kf_since_opt = int(meta["kf_since_opt"])
+        if k:
+            kfd = data["keyframes"]
+            p.keyframes = [
+                Keyframe(pose=Pose(kfd["q"][n], kfd["t"][n]),
+                         edge_pts=kfd["edge_pts"][n],
+                         edge_valid=kfd["edge_valid"][n],
+                         surf_pts=kfd["surf_pts"][n],
+                         surf_valid=kfd["surf_valid"][n],
+                         stamp=float(kfd["stamps"][n]))
+                for n in range(k)]
+            p._odom_poses = [Pose(kfd["odom_q"][n], kfd["odom_t"][n])
+                             for n in range(k)]
+        if m:
+            cd = data["constraints"]
+            p.constraints = [
+                (int(cd["i"][n]), int(cd["j"][n]),
+                 Pose(cd["z_q"][n], cd["z_t"][n]), float(cd["w"][n]),
+                 np.asarray(cd["info"][n], np.float32)
+                 if bool(cd["has_info"][n]) else None)
+                for n in range(m)]
+        if mi:
+            im = data["imu_factors"]
+            p.imu_factors = [
+                (int(im["i"][n]), int(im["j"][n]),
+                 jax.tree_util.tree_map(lambda x, n=n: x[n], im["pre"]))
+                for n in range(mi)]
+        if nb:
+            raw = np.load(path)
+            p._imu_buffer = [(raw["imu_buffer/0"], raw["imu_buffer/1"],
+                              raw["imu_buffer/2"])]
+        return p
 
     # ---- outputs ---------------------------------------------------
 

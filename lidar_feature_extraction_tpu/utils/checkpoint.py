@@ -28,19 +28,31 @@ def _flatten(tree: Any, prefix: str, out: dict) -> dict:
     return out
 
 
-def save_checkpoint(path: str, **states: Any) -> None:
+def save_checkpoint(path: str, _meta: dict | None = None,
+                    **states: Any) -> None:
     """Save named pytrees. ``path`` is a .npz file; a sibling .json
-    manifest records names and leaf counts for validation."""
+    manifest records names and leaf counts for validation. ``_meta``
+    is an arbitrary JSON-serializable dict stored in the manifest —
+    callers use it for the counts a resumer needs to size its load
+    templates (see ``load_meta``)."""
     arrays: dict = {}
-    manifest = {}
+    manifest: dict = {}
     for name, tree in states.items():
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         for i, leaf in enumerate(leaves):
             arrays[f"{name}/{i}"] = np.asarray(leaf)
         manifest[name] = {"n_leaves": len(leaves)}
+    if _meta is not None:
+        manifest["_meta"] = _meta
     np.savez_compressed(path, **arrays)
     with open(path + ".json", "w") as f:
         json.dump(manifest, f)
+
+
+def load_meta(path: str) -> dict:
+    """The ``_meta`` dict stored by ``save_checkpoint`` ({} if none)."""
+    with open(path + ".json") as f:
+        return json.load(f).get("_meta", {})
 
 
 def load_checkpoint(path: str, **templates: Any) -> dict:

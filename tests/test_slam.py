@@ -201,3 +201,94 @@ def test_pose_graph_robust_kernel_resists_outlier_constraint():
     err_naive = np.abs(np.asarray(naive.poses_t) - gt_t).max()
     assert err_robust < 0.15, err_robust
     assert err_naive > 2 * err_robust, (err_naive, err_robust)
+
+
+def test_bounded_backend_window_and_cg_match_dense():
+    """mapping.max_keyframes bounds the optimized window and the CG
+    solver auto-selects past dense_solver_max_keyframes; on a clean
+    drive the bounded pipeline's trajectory matches the unbounded
+    dense one (VERDICT r3 item 5 / ADVICE r3)."""
+    import dataclasses
+
+    rng = np.random.default_rng(4)
+    cfg = small_cfg()
+    cfg_bounded = dataclasses.replace(
+        cfg, mapping=dataclasses.replace(cfg.mapping, max_keyframes=6))
+    world_edges, world_surfs = make_world(rng)
+
+    def drive(pipeline, seed):
+        r = np.random.default_rng(seed)
+        for x in range(14):
+            pose = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                        t=jnp.asarray([float(x), 0.0, 0.0], jnp.float32))
+            e, s = sample_scan_features(world_edges, world_surfs, pose,
+                                        r, n_e=200, n_s=500)
+            e_pts, e_valid = pad_to(e, cfg.extraction.max_edges)
+            s_pts, s_valid = pad_to(s, cfg.extraction.max_surfaces)
+            pipeline.process_scan(e_pts, e_valid, s_pts, s_valid)
+        pipeline.optimize()
+        return pipeline.trajectory
+
+    dense = MappingPipeline(cfg, loop_min_gap=99, optimize_every=5)
+    bounded = MappingPipeline(cfg_bounded, loop_min_gap=99,
+                              optimize_every=5,
+                              dense_solver_max_keyframes=0)  # force CG
+    t_dense = drive(dense, 11)
+    t_bounded = drive(bounded, 11)
+
+    assert len(dense.keyframes) == len(bounded.keyframes) >= 8
+    # Both track the straight drive (keyframes on the y=z=0 line at
+    # integer-ish x), and the window bound costs nothing on a clean
+    # chain: the two trajectories agree.
+    gt = np.stack([np.asarray([float(x), 0, 0]) for x in range(14)])
+    for traj in (t_dense, t_bounded):
+        for p in traj:
+            assert np.linalg.norm(gt - p, axis=-1).min() < 0.2, p
+    np.testing.assert_allclose(t_bounded, t_dense, atol=0.1)
+
+
+def test_mapping_checkpoint_resume(tmp_path):
+    """Run 8 scans, checkpoint, resume, run 8 more: the resumed
+    pipeline's trajectory (and graph bookkeeping) must equal the
+    unbroken 16-scan run's (SURVEY.md §5 resume-mid-sequence plan;
+    VERDICT r3 item 7)."""
+    from lidar_feature_extraction_tpu.pipeline.slam import Keyframe  # noqa
+
+    rng_world = np.random.default_rng(5)
+    cfg = small_cfg()
+    world_edges, world_surfs = make_world(rng_world)
+
+    def scans(seed, n):
+        r = np.random.default_rng(seed)
+        out = []
+        for x in range(n):
+            pose = Pose(q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                        t=jnp.asarray([float(x), 0.0, 0.0], jnp.float32))
+            e, s = sample_scan_features(world_edges, world_surfs, pose,
+                                        r, n_e=200, n_s=500)
+            e_pts, e_valid = pad_to(e, cfg.extraction.max_edges)
+            s_pts, s_valid = pad_to(s, cfg.extraction.max_surfaces)
+            out.append((e_pts, e_valid, s_pts, s_valid, float(x) * 0.1))
+        return out
+
+    all_scans = scans(21, 16)
+    kwargs = dict(loop_min_gap=99, optimize_every=6)
+
+    unbroken = MappingPipeline(cfg, **kwargs)
+    for e_pts, e_valid, s_pts, s_valid, stamp in all_scans:
+        unbroken.process_scan(e_pts, e_valid, s_pts, s_valid, stamp=stamp)
+
+    first = MappingPipeline(cfg, **kwargs)
+    for e_pts, e_valid, s_pts, s_valid, stamp in all_scans[:8]:
+        first.process_scan(e_pts, e_valid, s_pts, s_valid, stamp=stamp)
+    path = str(tmp_path / "slam_ckpt.npz")
+    first.save_checkpoint(path)
+
+    resumed = MappingPipeline.restore(path, cfg, **kwargs)
+    for e_pts, e_valid, s_pts, s_valid, stamp in all_scans[8:]:
+        resumed.process_scan(e_pts, e_valid, s_pts, s_valid, stamp=stamp)
+
+    assert len(resumed.keyframes) == len(unbroken.keyframes)
+    assert len(resumed.constraints) == len(unbroken.constraints)
+    np.testing.assert_allclose(resumed.trajectory, unbroken.trajectory,
+                               atol=1e-4)
