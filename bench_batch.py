@@ -46,7 +46,7 @@ def main():
     n_loop = int(os.environ.get("BENCH_BATCH_ITERS", "50"))
 
     results = []
-    for B in (2, 4, 8):
+    for B in (2, 4, 8, 16, 32):
         images = jax.tree.map(lambda x: jnp.stack([x] * B), image)
         priors = Pose(q=jnp.stack([prior.q] * B),
                       t=jnp.stack([prior.t] * B))
