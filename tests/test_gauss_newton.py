@@ -151,3 +151,73 @@ def test_align_points_facade():
     assert int(res.status) == gn.CONVERGED
     np.testing.assert_allclose(np.asarray(res.pose.apply(src)),
                                np.asarray(dst), atol=1e-4)
+
+
+def test_hessian_output_matches_weighted_normal_equations():
+    """GNResult.hessian must equal M^T A M rebuilt by hand from the
+    final problem (the registration information the pose graph
+    consumes, VERDICT r3 item 3)."""
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.uniform(-5, 5, size=(24, 3)))
+    true = random_pose(rng)
+    dst = true.apply(src) + jnp.asarray(
+        rng.normal(scale=0.01, size=(24, 3)))
+    problem_fn = alignment_problem(src, dst, jnp.ones(24, bool))
+
+    # One iteration from a fixed start: the returned Hessian is
+    # evaluated exactly at the start pose (body-entry pose).
+    start = Pose.identity(jnp.float64)
+    res = gn.run_gauss_newton(problem_fn, start, max_iterations=1)
+
+    h = np.asarray(res.hessian)
+    # Symmetric positive definite for a well-posed alignment.
+    np.testing.assert_allclose(h, h.T, atol=1e-8)
+    assert np.linalg.eigvalsh(h).min() > 0
+
+    # Rebuild at the start pose: weights are Huber' of the
+    # MAD-normalized squared errors, A = J^T W J, H = M^T A M.
+    from lidar_feature_extraction_tpu.core import stats
+
+    problem = problem_fn(start)
+    errors = jnp.where(problem.valid, problem.errors, 0.0)
+    scale = stats.masked_scale_bisect(problem.errors, problem.valid)
+    weights = stats.huber_derivative(errors / (scale + 1e-16), 1.345)
+    _, h_ref = gn.weighted_update(start.q, weights, problem, 0.1)
+    np.testing.assert_allclose(h, np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_block_errors_flag_wrong_block():
+    """Per-block error medians must separate a well-fit block from a
+    misaligned one where the TOTAL error cannot (the odometry re-seed
+    gate's signal, pipeline/odometry.py)."""
+    rng = np.random.default_rng(8)
+    src_a = jnp.asarray(rng.uniform(-5, 5, size=(30, 3)))
+    src_b = jnp.asarray(rng.uniform(-5, 5, size=(30, 3)))
+
+    def make_two_block(offset_b):
+        def problem_fn(pose):
+            blocks = []
+            for src, off in ((src_a, jnp.zeros(3)), (src_b, offset_b)):
+                p = pose.apply(src)
+                dst = src + off
+                jac_t = jnp.broadcast_to(jnp.eye(3), (src.shape[0], 3, 3))
+                dr = quat.drpdq(jnp.broadcast_to(pose.q,
+                                                 src.shape[:-1] + (4,)),
+                                src)
+                jac = jnp.concatenate([dr, jac_t], axis=-1)
+                blocks.append(ResidualBlock(
+                    jacobian=jac, residual=p - dst,
+                    valid=jnp.ones(src.shape[0], bool)))
+            return gn.make_problem(blocks)
+        return problem_fn
+
+    # Block b claims its points sit 1 m away: at the identity optimum
+    # of block a, block b's median squared error is ~1, block a's ~0.
+    res = gn.run_gauss_newton(
+        make_two_block(jnp.asarray([1.0, 0, 0])), Pose.identity(
+            jnp.float64), max_iterations=1)
+    be = np.asarray(res.block_errors)
+    assert be.shape == (2,)
+    assert be[0] < 1e-6, be
+    assert abs(be[1] - 1.0) < 0.1, be
