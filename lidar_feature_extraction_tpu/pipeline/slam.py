@@ -522,6 +522,9 @@ class MappingPipeline:
             n_imu_buffer=len(self._imu_buffer),
             has_last_pose=self.odometry._last_pose is not None,
             kf_since_opt=self._kf_since_opt,
+            # Stamps ride the JSON manifest: they are Python floats and
+            # must not be squeezed through the f32 array path.
+            stamps=[float(f.stamp) for f in kf],
         )
         if self.odometry._last_pose is not None:
             states["last_pose"] = (self.odometry._last_pose.q,
@@ -536,7 +539,6 @@ class MappingPipeline:
                 surf_pts=np.stack([np.asarray(f.surf_pts) for f in kf]),
                 surf_valid=np.stack(
                     [np.asarray(f.surf_valid) for f in kf]),
-                stamps=np.asarray([f.stamp for f in kf], np.float64),
                 odom_q=np.stack(
                     [np.asarray(p.q) for p in self._odom_poses]),
                 odom_t=np.stack(
@@ -607,7 +609,6 @@ class MappingPipeline:
                 edge_valid=jnp.zeros((k, ex.max_edges), bool),
                 surf_pts=jnp.zeros((k, ex.max_surfaces, 3)),
                 surf_valid=jnp.zeros((k, ex.max_surfaces), bool),
-                stamps=jnp.zeros((k,), jnp.float64),
                 odom_q=jnp.zeros((k, 4)), odom_t=jnp.zeros((k, 3)))
         if m:
             templates["constraints"] = dict(
@@ -645,13 +646,14 @@ class MappingPipeline:
         p._kf_since_opt = int(meta["kf_since_opt"])
         if k:
             kfd = data["keyframes"]
+            stamps = meta["stamps"]
             p.keyframes = [
                 Keyframe(pose=Pose(kfd["q"][n], kfd["t"][n]),
                          edge_pts=kfd["edge_pts"][n],
                          edge_valid=kfd["edge_valid"][n],
                          surf_pts=kfd["surf_pts"][n],
                          surf_valid=kfd["surf_valid"][n],
-                         stamp=float(kfd["stamps"][n]))
+                         stamp=float(stamps[n]))
                 for n in range(k)]
             p._odom_poses = [Pose(kfd["odom_q"][n], kfd["odom_t"][n])
                              for n in range(k)]

@@ -15,3 +15,29 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the number of live compiled executables in one pytest
+    process.
+
+    The full suite compiles hundreds of XLA:CPU programs; with all of
+    them held live, a late compile of a large nested-control-flow
+    program (the loop-closure Gauss-Newton / CG pose-graph programs in
+    test_slam.py) segfaults inside ``backend_compile_and_load``
+    deterministically — 3/3 full-suite runs at r3, reproduced at r4
+    with a file-set bisection (the crash follows cumulative compile
+    volume, not any single poisoning test: every half-set passes or
+    fails depending on how much compiled state precedes test_slam).
+    Dropping cache references after each module lets the JIT code
+    regions be reclaimed and the suite complete in one process.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
