@@ -89,7 +89,8 @@ class MappingPipeline:
                  loop_min_inlier_frac: float = 0.6,
                  loop_min_matches: int = 50,
                  loop_min_edge_matches: int = 20,
-                 dense_solver_max_keyframes: int = 128):
+                 dense_solver_max_keyframes: int = 128,
+                 estimate_imu_bias: bool = True):
         self.cfg = cfg
         self.odometry = Odometry(cfg)
         self.keyframes: list[Keyframe] = []
@@ -118,6 +119,11 @@ class MappingPipeline:
         # constraints bridging into the frozen region re-anchor on the
         # window's gauge-fixed first pose.
         self.dense_solver_max_keyframes = dense_solver_max_keyframes
+        # Joint shared gyro/accel bias estimation in the IMU-aware
+        # back-end (parallel/imu_graph.py); the recovered biases land
+        # in self.imu_bias after each optimize.
+        self.estimate_imu_bias = estimate_imu_bias
+        self.imu_bias: Optional[tuple] = None
         self._optimized: Optional[PoseGraph] = None
         self._kf_since_opt = 0
         # Frame bookkeeping: the odometry front-end runs in its own
@@ -458,7 +464,12 @@ class MappingPipeline:
                 dp=jnp.stack([p.dp for p in pres]),
                 dt=jnp.stack([p.dt for p in pres]),
                 w_rot=w_rot, w_vel=w_vel, w_pos=w_pos,
-                weight=jnp.ones(len(pres), jnp.float32))
+                weight=jnp.ones(len(pres), jnp.float32),
+                dq_dbg=jnp.stack([p.dq_dbg for p in pres]),
+                dv_dbg=jnp.stack([p.dv_dbg for p in pres]),
+                dv_dba=jnp.stack([p.dv_dba for p in pres]),
+                dp_dbg=jnp.stack([p.dp_dbg for p in pres]),
+                dp_dba=jnp.stack([p.dp_dba for p in pres]))
             # Initial velocities: finite differences of keyframe
             # positions over their stamps.
             t_np = np.asarray(poses_t)
@@ -466,8 +477,14 @@ class MappingPipeline:
             ds = np.maximum(np.diff(stamps), 1e-3)
             v = np.diff(t_np, axis=0) / ds[:, None]
             vels = jnp.asarray(np.concatenate([v, v[-1:]]), jnp.float32)
-            graph9 = ImuGraph(poses_q=poses_q, poses_t=poses_t,
-                              vels=vels)
+            zero3 = jnp.zeros(3, jnp.float32)
+            # Gyro bias only: accel bias stays at the zero
+            # linearization point (weakly observable on short planar
+            # segments — see parallel/imu_graph.py ImuGraph).
+            graph9 = ImuGraph(
+                poses_q=poses_q, poses_t=poses_t, vels=vels,
+                bg=zero3 if self.estimate_imu_bias else None,
+                ba=None)
             for delta, n_it in self._gnc_schedule(robust_delta,
                                                   n_iterations):
                 graph9 = optimize_imu_graph(graph9, cons, imu,
@@ -476,6 +493,10 @@ class MappingPipeline:
             out = PoseGraph(poses_q=graph9.poses_q,
                             poses_t=graph9.poses_t)
             self._vels = np.asarray(graph9.vels)
+            if graph9.bg is not None:
+                self.imu_bias = (
+                    np.asarray(graph9.bg),
+                    None if graph9.ba is None else np.asarray(graph9.ba))
         else:
             solver = (optimize_pose_graph_cg
                       if ka > self.dense_solver_max_keyframes

@@ -216,3 +216,48 @@ def test_geometry_registration_empty_scan():
         Pose.identity(), cfg)
     assert int(result.status) == gn.EMPTY_INPUT
     np.testing.assert_array_equal(np.asarray(result.pose.t), 0.0)
+
+
+def test_moment_grid_eviction_never_goes_negative_across_rolls():
+    """ADVICE r3 (medium): a windowed point whose voxels are cleared by
+    a grid roll must NOT be subtracted later when the grid rolls back —
+    that left negative counts leaking into neighborhood fits. Drive the
+    incremental odometry with a tiny grid so points roll off and the
+    vehicle loiters back and forth across the boundary; every voxel
+    count must stay >= 0 (up to float noise) after every step."""
+    import dataclasses
+
+    from lidar_feature_extraction_tpu.config import (
+        ExtractionConfig, MappingConfig, PipelineConfig,
+        RegistrationConfig, VoxelMapConfig)
+    from lidar_feature_extraction_tpu.pipeline.odometry import (
+        geometry_odometry_step, init_geometry_odometry)
+
+    vm = VoxelMapConfig(voxel_size=1.0)
+    cfg = PipelineConfig(
+        extraction=ExtractionConfig(n_rings=4, max_points_per_ring=64,
+                                    max_edges=64, max_surfaces=64),
+        registration=RegistrationConfig(
+            max_iterations=2, edge_map=vm, surface_map=vm,
+            odometry_grid_dims=(8, 8, 4),   # 8 m x 8 m x 4 m: tiny
+            max_edge_points=64, max_surface_points=64),
+        mapping=MappingConfig(recent_scans_window=3))
+
+    rng = np.random.default_rng(0)
+    state = init_geometry_odometry(cfg)
+    # Loiter across a voxel boundary with a wide point cloud: +-6 m
+    # spread guarantees points fall off the 8 m grid every roll.
+    xs = [0.0, 3.0, -3.0, 4.0, -4.0, 2.5, -2.5, 5.0, 0.0]
+    for x in xs:
+        pts = rng.uniform(-6, 6, size=(64, 3)).astype(np.float32)
+        pts[:, 2] *= 0.3
+        e = jnp.asarray(pts)
+        ev = jnp.ones(64, bool)
+        prior_t = jnp.asarray([x, 0.0, 0.0], jnp.float32)
+        state, _ = geometry_odometry_step(
+            state, e, ev, e, ev, cfg,
+            prior_q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+            prior_t=prior_t)
+        for m in (state.edge_m, state.surf_m):
+            counts = np.asarray(m[:, 0])
+            assert counts.min() > -1e-3, counts.min()

@@ -237,3 +237,87 @@ def test_mapping_pipeline_consumes_imu():
     for p in traj:
         d = np.linalg.norm(gt - p, axis=-1).min()
         assert d < 0.3, (p, d)
+
+
+def test_joint_bias_estimation_recovers_injected_gyro_bias():
+    """Biased IMU + exact odometry chain, initialized at ground truth:
+    without bias estimation the biased factors drag the trajectory off
+    truth; with joint estimation (ImuGraph.bg/ba) the bias state
+    absorbs the discrepancy — the trajectory stays metric and the
+    recovered gyro bias matches the injected one. The reference's
+    imu_integration stub cites LIO-SAM, whose factor graph estimates
+    exactly this state."""
+    n, dt, kf_every = 101, 0.05, 10
+    q_gt, t_gt = arc_trajectory(n, dt)
+    gyro, accel, dts, v0 = imu_mod.synthesize_imu(q_gt, t_gt, dt)
+    bg_true = np.asarray([0.02, -0.015, 0.03], np.float32)
+    gyro = gyro + jnp.asarray(bg_true)   # sensor reads true rate + bias
+
+    kf_idx = list(range(0, n, kf_every))
+    k = len(kf_idx)
+    zero = jnp.zeros(3)
+
+    # Exact chain constraints and ground-truth initialization.
+    rels = []
+    for a, b in zip(kf_idx[:-1], kf_idx[1:]):
+        rels.append(Pose(q_gt[a], t_gt[a]).inverse().compose(
+            Pose(q_gt[b], t_gt[b])))
+    cons = Constraints(
+        i=jnp.arange(k - 1, dtype=jnp.int32),
+        j=jnp.arange(1, k, dtype=jnp.int32),
+        z_q=jnp.stack([r.q for r in rels]),
+        z_t=jnp.stack([r.t for r in rels]),
+        weight=jnp.ones(k - 1, jnp.float32))
+
+    # Factors preintegrated at ZERO bias (the pipeline's convention).
+    pres = [imu_mod.preintegrate(gyro[a:b], accel[a:b], dts[a:b],
+                                 zero, zero)
+            for a, b in zip(kf_idx[:-1], kf_idx[1:])]
+    cov = jnp.stack([p.cov for p in pres])
+    w_rot, w_vel, w_pos = weights_from_covariance(cov)
+
+    def factors():
+        return ImuFactors(
+            i=jnp.arange(k - 1, dtype=jnp.int32),
+            j=jnp.arange(1, k, dtype=jnp.int32),
+            dq=jnp.stack([p.dq for p in pres]),
+            dv=jnp.stack([p.dv for p in pres]),
+            dp=jnp.stack([p.dp for p in pres]),
+            dt=jnp.stack([p.dt for p in pres]),
+            w_rot=w_rot, w_vel=w_vel, w_pos=w_pos,
+            weight=jnp.ones(k - 1, jnp.float32),
+            dq_dbg=jnp.stack([p.dq_dbg for p in pres]),
+            dv_dbg=jnp.stack([p.dv_dbg for p in pres]),
+            dv_dba=jnp.stack([p.dv_dba for p in pres]),
+            dp_dbg=jnp.stack([p.dp_dbg for p in pres]),
+            dp_dba=jnp.stack([p.dp_dba for p in pres]))
+
+    init_q = q_gt[jnp.asarray(kf_idx)]
+    init_t = t_gt[jnp.asarray(kf_idx)]
+    gt_kf = np.asarray(t_gt)[kf_idx]
+    v_init = jnp.asarray(np.gradient(np.asarray(init_t), axis=0)
+                         / (kf_every * dt), jnp.float32)
+
+    out_nb = optimize_imu_graph(
+        ImuGraph(poses_q=init_q, poses_t=init_t, vels=v_init),
+        cons, factors(), n_iterations=15)
+    ate_nb = ate_rmse(np.asarray(out_nb.poses_t), gt_kf, align=False)
+
+    # Gyro-only estimation (ba=None), the pipeline's configuration:
+    # accel bias is weakly observable here and would absorb the
+    # synthesized IMU's zeroth-order-hold model error.
+    out_b = optimize_imu_graph(
+        ImuGraph(poses_q=init_q, poses_t=init_t, vels=v_init,
+                 bg=jnp.zeros(3), ba=None),
+        cons, factors(), n_iterations=30)
+    ate_b = ate_rmse(np.asarray(out_b.poses_t), gt_kf, align=False)
+    bg_est = np.asarray(out_b.bg)
+
+    print(f"no-bias ATE {ate_nb:.4f}  bias ATE {ate_b:.4f}  "
+          f"bg_est {bg_est}")
+    # The biased factors visibly bend the un-modeled graph ...
+    assert ate_nb > 2 * max(ate_b, 1e-4), (ate_nb, ate_b)
+    # ... joint estimation keeps the trajectory metric ...
+    assert ate_b < 0.05, ate_b
+    # ... and recovers the injected gyro bias.
+    np.testing.assert_allclose(bg_est, bg_true, atol=0.006)
