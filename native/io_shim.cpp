@@ -77,7 +77,14 @@ struct Prefetcher {
 
   std::vector<std::thread> workers;
   std::deque<size_t> work;  // indices into slots
-  std::vector<Slot> slots;
+  // deque, NOT vector: workers hold a Slot* across the unlocked read
+  // (below), and submit() keeps appending — vector reallocation left a
+  // dangling pointer, so the worker wrote size/data into freed memory:
+  // the real slot stayed "pending" forever (consumer deadlock in
+  // wait_size) and the heap corruption surfaced as segfaults in
+  // unrelated allocations later in the process. std::deque guarantees
+  // reference stability for push_back.
+  std::deque<Slot> slots;
   std::mutex mu;
   std::condition_variable cv;
   std::atomic<bool> stop{false};
