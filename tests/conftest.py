@@ -33,10 +33,14 @@ def _clear_jax_caches_between_modules():
     test_slam.py) segfaults inside ``backend_compile_and_load``
     deterministically — 3/3 full-suite runs at r3, reproduced at r4
     with a file-set bisection (the crash follows cumulative compile
-    volume, not any single poisoning test: every half-set passes or
-    fails depending on how much compiled state precedes test_slam).
-    Dropping cache references after each module lets the JIT code
-    regions be reclaimed and the suite complete in one process.
+    volume, not any single poisoning test: an 11-file half-set + slam
+    crashes, the complementary set passes, and no single pairing
+    reproduces). Verified independent of the r4 native-prefetcher
+    heap-corruption bug (fixed in native/io_shim.cpp): with that fixed
+    and this fixture removed, the crash still reproduces (rc=139);
+    with the fixture in place the full suite is green 3/3. Dropping
+    cache references after each module lets the JIT code regions be
+    reclaimed and the suite complete in one process.
     """
     yield
     jax.clear_caches()
