@@ -220,6 +220,8 @@ def optimize_imu_graph(graph: ImuGraph, cons: Constraints | None,
                        damping: float = 1e-4,
                        robust_delta: float | None = None,
                        bias_prior_weight: float = 0.5,
+                       bias_step_clip: float = 0.02,
+                       bias_clip: float = 0.5,
                        axis_name: str | None = None) -> ImuGraph:
     """Gauss-Newton over (pose, velocity) keyframe states with
     relative-pose constraints and IMU factors. Semantics mirror
@@ -350,9 +352,19 @@ def optimize_imu_graph(graph: ImuGraph, cons: Constraints | None,
         t2 = graph.poses_t + quat.quat_rotate(graph.poses_q, xi[:, 3:6])
         v2 = graph.vels + xi[:, 6:9]
         if est_bias:
+            # Trust region on the bias: the factor correction is a
+            # FIRST-ORDER expansion (exp(J_dbg @ bg) on rotation) —
+            # a large step leaves its validity region, the wrapped
+            # rotation correction points the next step further out,
+            # and the bias runs away (observed: 0.003 -> 1e8 rad/s in
+            # ten iterations). Physical biases are < 0.05 rad/s |
+            # m/s^2; clamp the per-iteration step and the state.
+            db = jnp.clip(dx[k9:], -bias_step_clip, bias_step_clip)
+            bg2 = jnp.clip(graph.bg + db[:3], -bias_clip, bias_clip)
             return ImuGraph(poses_q=q2, poses_t=t2, vels=v2,
-                            bg=graph.bg + dx[k9:k9 + 3],
-                            ba=(graph.ba + dx[k9 + 3:]) if est_ba
+                            bg=bg2,
+                            ba=jnp.clip(graph.ba + db[3:], -bias_clip,
+                                        bias_clip) if est_ba
                             else graph.ba)
         return ImuGraph(poses_q=q2, poses_t=t2, vels=v2,
                         bg=graph.bg, ba=graph.ba)

@@ -46,7 +46,10 @@ def relative_pose(a: Pose, b: Pose) -> Pose:
     return a.inverse().compose(b)
 
 
-def constraint_info_from_hessian(hessian, q) -> Optional[np.ndarray]:
+def constraint_info_from_hessian(hessian, q,
+                                 eig_floor: float = 0.01,
+                                 eig_cap: float = 100.0
+                                 ) -> Optional[np.ndarray]:
     """Registration Hessian M^T A M -> normalized [6, 6] constraint
     information in the pose-graph residual tangent.
 
@@ -54,12 +57,21 @@ def constraint_info_from_hessian(hessian, q) -> Optional[np.ndarray]:
     (ops/gauss_newton.py run_gauss_newton); the graph residual's
     translation tangent is local to the measured pose (pose_graph.py
     _perturb), so the translation block is conjugated by R(q) with q
-    the registration result's rotation. Normalized to unit max
-    eigenvalue so the scalar constraint ``weight`` keeps its (0, 1]
-    semantics, with a 1% isotropic floor so a fully degenerate axis
-    still carries a whisper of stiffness (the graph must not be
-    singular along it). Returns None when the Hessian is unusable
-    (empty registration)."""
+    the registration result's rotation.
+
+    Normalization: divide by the TRANSLATION block's max eigenvalue —
+    the well-constrained translation axes then carry weight ~1, the
+    (0, 1] semantics of the scalar constraint ``weight``. Normalizing
+    by the FULL spectrum would be wrong: the rotation block scales
+    with squared correspondence lever arms (~1e2-1e3 m^2 at LiDAR
+    ranges), so max-eig normalization collapses translation stiffness
+    to ~1e-3 and the graph's translation is left to whoever else has
+    an opinion (r4 regression: the IMU factors then dragged z off by
+    decimeters). The spectrum is clipped to [eig_floor, eig_cap]:
+    the floor keeps fully-degenerate axes from making the graph
+    singular, the cap keeps one rotation-stiff constraint from
+    dominating the f32 normal equations. Returns None when the Hessian
+    is unusable (empty registration)."""
     if hessian is None:
         return None
     h = np.asarray(hessian, np.float64)
@@ -70,11 +82,14 @@ def constraint_info_from_hessian(hessian, q) -> Optional[np.ndarray]:
     j[3:, 3:] = r
     lam = j.T @ h @ j
     lam = 0.5 * (lam + lam.T)
-    lmax = float(np.linalg.eigvalsh(lam).max())
-    if not np.isfinite(lmax) or lmax <= 0:
+    t_max = float(np.linalg.eigvalsh(lam[3:, 3:]).max())
+    if not np.isfinite(t_max) or t_max <= 0:
         return None
-    lam = lam / lmax + 0.01 * np.eye(6)
-    return (lam / 1.01).astype(np.float32)
+    lam = lam / t_max
+    w, v = np.linalg.eigh(lam)
+    w = np.clip(w, eig_floor, eig_cap)
+    lam = (v * w) @ v.T
+    return lam.astype(np.float32)
 
 
 class MappingPipeline:
@@ -119,9 +134,14 @@ class MappingPipeline:
         # constraints bridging into the frozen region re-anchor on the
         # window's gauge-fixed first pose.
         self.dense_solver_max_keyframes = dense_solver_max_keyframes
-        # Joint shared gyro/accel bias estimation in the IMU-aware
-        # back-end (parallel/imu_graph.py); the recovered biases land
-        # in self.imu_bias after each optimize.
+        # Joint shared gyro-bias estimation in the IMU-aware back-end
+        # (parallel/imu_graph.py); the recovered biases land in
+        # self.imu_bias after each optimize. Keep this ON whenever IMU
+        # factors are fed: their metric information (1/sigma^2, up to
+        # 1e5) dominates the dimensionless chain constraints, so any
+        # systematic IMU inconsistency — real sensor bias OR model
+        # error — bends the graph unless the bias state absorbs it
+        # (measured r4: 0.04 m vs 3.2 m ATE on the full IMU drive).
         self.estimate_imu_bias = estimate_imu_bias
         self.imu_bias: Optional[tuple] = None
         self._optimized: Optional[PoseGraph] = None
@@ -470,13 +490,21 @@ class MappingPipeline:
                 dv_dba=jnp.stack([p.dv_dba for p in pres]),
                 dp_dbg=jnp.stack([p.dp_dbg for p in pres]),
                 dp_dba=jnp.stack([p.dp_dba for p in pres]))
-            # Initial velocities: finite differences of keyframe
-            # positions over their stamps.
-            t_np = np.asarray(poses_t)
-            stamps = np.asarray([kf.stamp for kf in active])
-            ds = np.maximum(np.diff(stamps), 1e-3)
-            v = np.diff(t_np, axis=0) / ds[:, None]
-            vels = jnp.asarray(np.concatenate([v, v[-1:]]), jnp.float32)
+            # Initial velocities: CENTRAL differences of keyframe
+            # positions over their stamps. Central, not forward: the
+            # forward difference is the chord velocity, which lacks
+            # the trajectory's curvature term — on a turning platform
+            # that makes every IMU position factor inconsistent by
+            # ~0.5*a_lateral*dt^2 (measured 0.12 m/factor at 8 m/s on
+            # the r4 eval circle), and with metric IMU weights the
+            # graph diverges from that seed instead of correcting it.
+            # Central differences are tangent velocities (2nd order).
+            t_np = np.asarray(poses_t, np.float64)
+            stamps = np.asarray([kf.stamp for kf in active], np.float64)
+            stamps = np.maximum.accumulate(stamps + 1e-9 * np.arange(
+                len(stamps)))   # strictly increasing for np.gradient
+            v = np.gradient(t_np, stamps, axis=0)
+            vels = jnp.asarray(v, jnp.float32)
             zero3 = jnp.zeros(3, jnp.float32)
             # Gyro bias only: accel bias stays at the zero
             # linearization point (weakly observable on short planar
