@@ -95,9 +95,29 @@ def main():
                                           with_imu=True)
     print("slam_loop_imu", out["slam_loop_imu"], flush=True)
 
+    bad = _nonfinite_paths(out)
+    if bad:
+        # Structural guard (VERDICT r4 item 4): a failed drive must
+        # never silently replace a good artifact — r3 and r4 both
+        # ended with ATE_EVAL.json contradicting the docs because a
+        # NaN run wrote the file and exited 0.
+        print(f"REFUSING to write ATE_EVAL.json: non-finite metrics at "
+              f"{bad}", flush=True)
+        raise SystemExit(1)
     with open("ATE_EVAL.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+
+
+def _nonfinite_paths(tree, prefix=""):
+    """Dotted paths of every non-finite number in a nested dict."""
+    bad = []
+    if isinstance(tree, dict):
+        for key, val in tree.items():
+            bad += _nonfinite_paths(val, f"{prefix}{key}.")
+    elif isinstance(tree, (int, float)) and not np.isfinite(tree):
+        bad.append(prefix.rstrip("."))
+    return bad
 
 
 def eval_slam_loop(cfg, world, rng, n_scans: int = 80,

@@ -209,7 +209,7 @@ def circle_pose(i: float, n_scans: int, radius: float) -> Pose:
 def run_mapping_drive(world: World, cfg: PipelineConfig,
                       rng: np.random.Generator, n_scans: int,
                       radius: float, scan_period: float = 0.1,
-                      with_imu: bool = False, imu_substeps: int = 20,
+                      with_imu: bool = False, imu_substeps: int = 100,
                       pipeline_kwargs: dict | None = None,
                       **scan_kwargs):
     """Full mapping workload over a closed circular drive: raycast ->
@@ -235,6 +235,7 @@ def run_mapping_drive(world: World, cfg: PipelineConfig,
 
     gyro = accel = dts = None
     sub = imu_substeps
+    pipeline_kwargs = dict(pipeline_kwargs or {})
     if with_imu:
         fine = [circle_pose(k / sub, n_scans, radius)
                 for k in range(n_scans * sub + 1)]
@@ -246,8 +247,28 @@ def run_mapping_drive(world: World, cfg: PipelineConfig,
         accel = np.asarray(accel) + rng.normal(scale=1e-2,
                                                size=accel.shape)
         dts = np.asarray(dts)
+        # Honest trust model for the back-end: ``synthesize_imu`` is a
+        # zeroth-order-hold sampler, so its accel carries a COHERENT
+        # per-substep error ~ jerk * dt_sub / 2 on a turning platform
+        # (this drive: a = v^2/r up to ~20 m/s^2 rotating at
+        # omega = v/r — far above the injected 1e-2 white noise).
+        # Feeding the factors datasheet-level noise densities makes the
+        # joint bias estimator absorb that model error into a phantom
+        # gyro bias (measured: 0.017 rad/s, 0.36 m ATE on a zero-bias
+        # drive). Convert the coherent error to an equivalent
+        # continuous density matched at the keyframe horizon
+        # (sigma_c = e_a * sqrt(T): coherent error grows ~T, IID ~
+        # sqrt(T), so matching at T keeps the window covariance
+        # honest).
+        speed = 2 * np.pi * radius / (n_scans * scan_period)
+        omega = speed / radius
+        jerk = (speed * speed / radius) * omega
+        e_a = jerk * (scan_period / sub) / 2 + 1e-2
+        pipeline_kwargs.setdefault(
+            "imu_accel_noise",
+            max(2.0e-3, float(e_a * np.sqrt(scan_period))))
 
-    pipeline = MappingPipeline(cfg, **(pipeline_kwargs or {}))
+    pipeline = MappingPipeline(cfg, **pipeline_kwargs)
     for i in range(n_scans):
         pose = circle_pose(i, n_scans, radius)
         pts, ring = raycast_scan(world, pose, rng, **scan_kwargs)

@@ -216,3 +216,120 @@ def test_anisotropic_constraint_info_bends_only_constrained_axes():
         graph, Constraints(info=jnp.asarray(info), **base),
         n_iterations=10)
     np.testing.assert_allclose(np.asarray(cg.poses_t), t_a, atol=5e-3)
+
+
+def test_distributed_imu_graph_matches_single_device():
+    """optimize_imu_graph under shard_map (factors + constraints
+    sharded, REAL non-zero bias Jacobians from actual preintegration,
+    an injected gyro bias to recover) must match the single-device
+    result bit-for-tolerance: poses, velocities, and the decoupled
+    rotation-only bias estimate all reduce through psums (VERDICT r4
+    item 7 — the r4 dryrun compiled this path only with zeroed
+    Jacobians)."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lidar_feature_extraction_tpu.core.pose import Pose
+    from lidar_feature_extraction_tpu.fusion import imu as imu_mod
+    from lidar_feature_extraction_tpu.parallel.imu_graph import (
+        ImuFactors, ImuGraph, optimize_imu_graph,
+        weights_from_covariance)
+
+    assert len(jax.devices()) >= 8
+
+    # Arc trajectory + synthesized IMU with an injected gyro bias.
+    n, dt, kf_every = 121, 0.05, 10
+    speed, radius = 2.0, 20.0
+    s = speed * dt * np.arange(n)
+    theta = s / radius
+    t_true = np.stack([radius * np.sin(theta),
+                       radius * (1 - np.cos(theta)),
+                       np.zeros(n)], axis=-1).astype(np.float32)
+    q_true = np.stack([np.asarray(quat.exp_so3(
+        jnp.asarray([0.0, 0.0, th], jnp.float32))) for th in theta])
+    q_true = jnp.asarray(q_true)
+    t_true = jnp.asarray(t_true)
+    gyro, accel, dts, _ = imu_mod.synthesize_imu(q_true, t_true, dt)
+    bg_true = jnp.asarray([0.01, -0.008, 0.02], jnp.float32)
+    gyro = gyro + bg_true
+
+    kf = list(range(0, n, kf_every))
+    k = len(kf)
+    zero = jnp.zeros(3)
+    rels = [Pose(q_true[a], t_true[a]).inverse().compose(
+        Pose(q_true[b], t_true[b])) for a, b in zip(kf[:-1], kf[1:])]
+    pres = [imu_mod.preintegrate(gyro[a:b], accel[a:b], dts[a:b],
+                                 zero, zero)
+            for a, b in zip(kf[:-1], kf[1:])]
+    m = k - 1
+    pad = (-m) % 8
+    w_rot, w_vel, w_pos = weights_from_covariance(
+        jnp.stack([p.cov for p in pres]))
+
+    def padded(x, fill=0.0):
+        x = jnp.asarray(x)
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+    ident_q = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+    cons = Constraints(
+        i=padded(jnp.arange(m, dtype=jnp.int32)),
+        j=padded(jnp.arange(1, k, dtype=jnp.int32), 1),
+        z_q=jnp.concatenate([jnp.stack([r.q for r in rels]),
+                             jnp.tile(ident_q[None], (pad, 1))]),
+        z_t=padded(jnp.stack([r.t for r in rels])),
+        weight=padded(jnp.ones(m, jnp.float32)),
+        info=padded(jnp.tile(jnp.eye(6, dtype=jnp.float32)[None],
+                             (m, 1, 1))))
+    imu = ImuFactors(
+        i=cons.i, j=cons.j,
+        dq=jnp.concatenate([jnp.stack([p.dq for p in pres]),
+                            jnp.tile(ident_q[None], (pad, 1))]),
+        dv=padded(jnp.stack([p.dv for p in pres])),
+        dp=padded(jnp.stack([p.dp for p in pres])),
+        dt=padded(jnp.stack([p.dt for p in pres])),
+        w_rot=padded(w_rot), w_vel=padded(w_vel), w_pos=padded(w_pos),
+        weight=padded(jnp.ones(m, jnp.float32)),
+        dq_dbg=padded(jnp.stack([p.dq_dbg for p in pres])),
+        dv_dbg=padded(jnp.stack([p.dv_dbg for p in pres])),
+        dv_dba=padded(jnp.stack([p.dv_dba for p in pres])),
+        dp_dbg=padded(jnp.stack([p.dp_dbg for p in pres])),
+        dp_dba=padded(jnp.stack([p.dp_dba for p in pres])))
+
+    idx = jnp.asarray(kf)
+    v_init = jnp.asarray(np.gradient(np.asarray(t_true)[kf], axis=0)
+                         / (kf_every * dt), jnp.float32)
+    graph = ImuGraph(poses_q=q_true[idx], poses_t=t_true[idx],
+                     vels=v_init, bg=jnp.zeros(3), ba=None)
+
+    single = optimize_imu_graph(graph, cons, imu, n_iterations=10)
+
+    mesh = make_mesh(8)
+    shard_f = jax.tree.map(lambda _: P("data"), imu)
+    shard_c = jax.tree.map(lambda _: P("data"), cons)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), shard_f, shard_c), out_specs=P(),
+             check_vma=False)
+    def _opt(g, f, c):
+        return optimize_imu_graph(g, c, f, n_iterations=10,
+                                  axis_name="data")
+
+    g_rep = jax.device_put(graph, NamedSharding(mesh, P()))
+    f_sh = jax.device_put(imu, NamedSharding(mesh, P("data")))
+    c_sh = jax.device_put(cons, NamedSharding(mesh, P("data")))
+    dist = jax.jit(_opt)(g_rep, f_sh, c_sh)
+
+    # The recovered bias is real (close to the injected one) ...
+    np.testing.assert_allclose(np.asarray(single.bg),
+                               np.asarray(bg_true), atol=0.004)
+    # ... and the sharded reduction reproduces the single-device
+    # optimization on every state component.
+    np.testing.assert_allclose(np.asarray(dist.bg),
+                               np.asarray(single.bg), atol=1e-5)
+    # f32 psum accumulation order differs from the single-device sum;
+    # same tolerance as test_distributed_matches_single_device.
+    np.testing.assert_allclose(np.asarray(dist.poses_t),
+                               np.asarray(single.poses_t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dist.vels),
+                               np.asarray(single.vels), atol=3e-3)
