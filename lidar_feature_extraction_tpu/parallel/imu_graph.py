@@ -296,6 +296,18 @@ def optimize_imu_graph(graph: ImuGraph, cons: Constraints | None,
     dtype = graph.poses_t.dtype
     dim = k9
 
+    # Canonicalize factor/constraint floats to the graph dtype: under
+    # jax_enable_x64 host-built float64 factors would otherwise scatter
+    # into the f32 normal equations (a FutureWarning today, an error in
+    # future JAX) and silently double the solve's memory.
+    def _cast_floats(nt):
+        return None if nt is None else jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, nt)
+
+    cons = _cast_floats(cons)
+    imu = _cast_floats(imu)
+
     have_jac = imu is not None and imu.dq_dbg is not None
     bg_out = graph.bg
     if have_jac and (graph.bg is not None or graph.ba is not None):

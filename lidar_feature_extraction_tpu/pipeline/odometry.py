@@ -413,6 +413,13 @@ class Odometry:
             cv_prior = prev.compose(delta)
             prior = cv_prior
         state0 = self.state
+        if prior is not None:
+            # Callers may seed with host-built poses (EKF / IMU
+            # prediction); under jax_enable_x64 those arrive as float64
+            # and would re-trace _step and poison the f32 state carry.
+            dtype = state0.pose_t.dtype
+            prior = Pose(jnp.asarray(prior.q, dtype),
+                         jnp.asarray(prior.t, dtype))
         if prior is None:
             self.state, result = self._step(
                 state0, edge_pts, edge_valid, surf_pts, surf_valid,
@@ -488,8 +495,10 @@ class Odometry:
         prediction over the inter-scan window (gyro/accel/dts: [N, 3] /
         [N, 3] / [N] samples since the previous scan). Velocity state
         is corrected from the registered poses after each update."""
-        pre = self._preintegrate(jnp.asarray(gyro), jnp.asarray(accel),
-                                 jnp.asarray(dts))
+        dtype = self.state.pose_t.dtype
+        pre = self._preintegrate(jnp.asarray(gyro, dtype),
+                                 jnp.asarray(accel, dtype),
+                                 jnp.asarray(dts, dtype))
         q, t, _v = imu_mod.predict_state(
             self.state.pose_q, self.state.pose_t, self.velocity, pre)
         prev_t = self.state.pose_t
